@@ -1,0 +1,16 @@
+"""A-FAN TPU: a TPU-native (JAX/Flax/XLA/Pallas) framework for adversarial
+feature augmentation and normalization, with the capabilities of the
+reference CV_A-FAN (VITA-Group/CV_A-FAN): CIFAR classification, Faster R-CNN
+detection, and DeepLabv3/v3+ segmentation — all trained with feature-level
+PGD ("ALFA"), spectrum augmentation ("SAT"), and adversarial feature
+normalization ("AFN").
+
+Unlike the reference (three forked PyTorch stacks that share no code), the
+core algorithm here lives once in :mod:`afan.core` as pure, jit-compatible
+functions; models expose static tap points (:mod:`afan.models.taps`), and the
+entire adversarial train step — clean head forward, `lax.scan` PGD ascent,
+spectrum tails, combined loss, optimizer update — compiles into a single XLA
+program per tap configuration.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,232 @@
+"""CIFAR training driver: base / ALFA (perturb) / learnable-eta modes.
+
+CLI surface parity with the three reference drivers —
+`Classification/main_base.py`, `main_perturb.py`, `main_learnable.py` —
+merged into one entry point with ``--mode`` (the reference forks the whole
+script per variant). Canonical runs (reference `Classification/cmd/`):
+
+  python -m afan.cli.train_classify --mode base    --seed 3
+  python -m afan.cli.train_classify --mode alfa    --gamma 0.5 --steps 5
+  python -m afan.cli.train_classify --mode learnable
+
+Outputs mirror the reference: per-epoch train/val/test accuracy, best-on-val
+checkpointing (`main_perturb.py:116-136`), result.pkl accuracy curves and
+result_norm.pkl perturbation-norm telemetry (`main_perturb.py:138-150`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.cifar import cifar10_dataloaders, cifar100_dataloaders
+from ..models.resnet_s import ResNetS, resnet56, LEARNABLE_TAPS
+from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
+                             shard_batch)
+from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
+from ..train.loop import (AlfaConfig, LearnableConfig, TrainState,
+                          make_alfa_step, make_base_step, make_eval_step,
+                          make_learnable_step)
+from ..train.optim import multistep_warmup_schedule, sgd
+from ..utils.logging import Log
+from ..utils.meters import AverageMeter
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="A-FAN TPU CIFAR training")
+    # base settings (`main_perturb.py:27-34`)
+    p.add_argument("--mode", choices=["base", "alfa", "learnable"],
+                   default="alfa")
+    p.add_argument("--data", type=str, default="../data")
+    p.add_argument("--dataset", choices=["cifar10", "cifar100"],
+                   default="cifar10")
+    p.add_argument("--print_freq", default=50, type=int)
+    p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--save_dir", default="res56s_adv_aug", type=str)
+    # optimizer (`main_perturb.py:36-42`)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", default=0.1, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight_decay", default=5e-4, type=float)
+    p.add_argument("--epochs", default=200, type=int)
+    p.add_argument("--decreasing_lr", default="50,150")
+    # attack (`main_perturb.py:44-50`)
+    p.add_argument("--steps", default=5, type=int)
+    p.add_argument("--perturb_idx", default=13, type=int)
+    p.add_argument("--gamma", default=1.5, type=float,
+                   help="PGD step size, /255 applied internally")
+    p.add_argument("--eps", default=2.0, type=float)
+    p.add_argument("--randinit", action="store_true")
+    p.add_argument("--clip", action="store_true")
+    # ETA (`main_learnable.py:52-55`)
+    p.add_argument("--w_lr", default=0.01, type=float)
+    p.add_argument("--init_weight", default=1.0 / 9, type=float)
+    p.add_argument("--l1_coef", default=1.0, type=float)
+    # TPU-era additions
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype (recommended on TPU)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    p.add_argument("--limit_batches", type=int, default=0,
+                   help="debug: cap batches per epoch")
+    p.add_argument("--synthetic_ok", action="store_true", default=True)
+    return p
+
+
+def build_model(args):
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    classes = 100 if args.dataset == "cifar100" else 10
+    init_w = args.init_weight if args.mode == "learnable" else 1.0
+    return ResNetS(num_blocks=(9, 9, 9), num_classes=classes,
+                   init_weight=init_w, dtype=dtype)
+
+
+def build_tx(args, steps_per_epoch: int):
+    milestones = [int(e) * steps_per_epoch
+                  for e in args.decreasing_lr.split(",")]
+    schedule = multistep_warmup_schedule(
+        args.lr, milestones, 0.1, warmup_steps=steps_per_epoch)
+    if args.mode == "learnable":
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "w" if path[0].key == "w" else "model", params)
+        return optax.multi_transform(
+            {"model": sgd(schedule, args.momentum, args.weight_decay),
+             "w": sgd(lambda c: args.w_lr, args.momentum, 0.0)}, label_fn)
+    return sgd(schedule, args.momentum, args.weight_decay)
+
+
+def validate(eval_step, state, loader, mesh):
+    correct, count = 0, 0
+    for x, y in loader:
+        # eval batches may be ragged; pad to batch then mask via count
+        out = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+        correct += int(out["correct"])
+        count += int(out["count"])
+    return 100.0 * correct / max(count, 1)
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    Log.initialize()
+    Log.i(f"args: {vars(args)}")
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    seed = args.seed if args.seed is not None else 0
+    loaders = (cifar10_dataloaders if args.dataset == "cifar10"
+               else cifar100_dataloaders)
+    train_loader, val_loader, test_loader = loaders(
+        args.batch_size, args.batch_size, data_dir=args.data, seed=seed)
+
+    steps_per_epoch = len(train_loader)
+    if args.limit_batches:
+        steps_per_epoch = min(steps_per_epoch, args.limit_batches)
+
+    model = build_model(args)
+    tx = build_tx(args, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(rng, dummy, 0, None, False)
+    state = TrainState.create(variables, tx)
+
+    mesh = make_mesh(args.num_devices)
+    check_divisible(args.batch_size, mesh)
+    state = replicate_state(mesh, state)
+    Log.i(f"data-parallel over {mesh.size} device(s): {mesh.devices.ravel()}")
+
+    if args.mode == "base":
+        train_step = make_base_step(model, tx)
+    elif args.mode == "alfa":
+        cfg = AlfaConfig(tap=args.perturb_idx, steps=args.steps,
+                         gamma=args.gamma / 255, eps=args.eps / 255,
+                         randinit=args.randinit, clip=args.clip)
+        train_step = make_alfa_step(model, tx, cfg)
+    else:
+        cfg = LearnableConfig(taps=LEARNABLE_TAPS, steps=args.steps,
+                              gamma=args.gamma / 255, eps=args.eps / 255,
+                              randinit=args.randinit, clip=args.clip,
+                              l1_coef=args.l1_coef)
+        train_step = make_learnable_step(model, tx, cfg)
+    eval_step = make_eval_step(model)
+
+    start_epoch, best_prec1 = 0, 0.0
+    ckpt_path = os.path.join(args.save_dir, "checkpoint.pt")
+    if args.resume:
+        saved = load_checkpoint(ckpt_path)
+        if saved:
+            params, frac = overlap_restore(state.params, saved["params"])
+            Log.i(f"resume: restored {frac:.1%} of params from {ckpt_path}")
+            state = state.replace(params=params,
+                                  batch_stats=saved["batch_stats"],
+                                  step=jnp.asarray(saved["step"]))
+            start_epoch = saved.get("epoch", 0)
+            best_prec1 = saved.get("best_prec1", 0.0)
+
+    all_result = {"train": [], "ta": [], "test_ta": []}
+    all_norm = {"l2": {}, "linf": {}}
+
+    for epoch in range(start_epoch, args.epochs):
+        losses, top1 = AverageMeter(), AverageMeter()
+        norm_l2, norm_linf = AverageMeter(), AverageMeter()
+        t0, seen = time.time(), 0
+        for i, (x, y) in enumerate(train_loader):
+            if args.limit_batches and i >= args.limit_batches:
+                break
+            xb, yb = shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
+            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
+            if args.mode == "base":
+                state, metrics = train_step(state, xb, yb)
+            else:
+                state, metrics = train_step(state, xb, yb, step_rng)
+            seen += x.shape[0]
+            if i % args.print_freq == 0:
+                losses.update(float(metrics["loss"]), x.shape[0])
+                top1.update(float(metrics["accuracy"]), x.shape[0])
+                if "pert_l2" in metrics:
+                    norm_l2.update(float(jnp.mean(metrics["pert_l2"])))
+                    norm_linf.update(float(jnp.mean(metrics["pert_linf"])))
+                Log.i(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
+                      f"Loss {losses.val:.4f} ({losses.avg:.4f}) "
+                      f"Acc {top1.val:.3f} ({top1.avg:.3f})")
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        Log.i(f"epoch {epoch}: {seen / max(dt, 1e-9):.1f} imgs/sec")
+        if args.mode != "base":
+            all_norm["l2"][epoch + 1] = norm_l2.avg
+            all_norm["linf"][epoch + 1] = norm_linf.avg
+
+        tacc = validate(eval_step, state, val_loader, mesh)
+        test_tacc = validate(eval_step, state, test_loader, mesh)
+        Log.i(f"epoch {epoch}: val {tacc:.2f} test {test_tacc:.2f}")
+        all_result["train"].append(top1.avg)
+        all_result["ta"].append(tacc)
+        all_result["test_ta"].append(test_tacc)
+
+        is_best = tacc > best_prec1
+        best_prec1 = max(tacc, best_prec1)
+        payload = {"epoch": epoch + 1, "params": state.params,
+                   "batch_stats": state.batch_stats,
+                   "step": int(state.step), "best_prec1": best_prec1}
+        save_checkpoint(ckpt_path, payload)
+        if is_best:
+            save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),
+                            payload)
+        with open(os.path.join(args.save_dir, "result.pkl"), "wb") as f:
+            pickle.dump(all_result, f)
+        with open(os.path.join(args.save_dir, "result_norm.pkl"), "wb") as f:
+            pickle.dump(all_norm, f)
+
+    Log.i(f"done; best val accuracy {best_prec1:.2f}")
+    return best_prec1
+
+
+if __name__ == "__main__":
+    main()

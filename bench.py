@@ -1,0 +1,73 @@
+"""Benchmark: flagship A-FAN ALFA train step (CIFAR ResNet-56s) on TPU.
+
+Measures imgs/sec/chip of the complete adversarial training step at the
+reference's canonical configuration (`Classification/main_perturb.py`
+defaults: batch 128, tap 13, 5-step feature PGD, gamma 1.5/255) — the
+workload BASELINE.md tracks ("A-FAN imgs/sec/chip (CIFAR ResNet)").
+
+Baseline for `vs_baseline`: the reference publishes no throughput
+(BASELINE.md), so we pin a documented estimate of the reference PyTorch
+implementation on one A100: ~1500 imgs/sec (plain ResNet-56/CIFAR torch
+training sustains ~5000 imgs/sec on A100; the ALFA step multiplies the work
+by ~3.3x — 1 clean fwd+bwd, 5 tail fwd+bwd in the PGD loop, head fwd, adv
+tail fwd+bwd — and serializes 8+ kernel launches per batch). The north-star
+target (BASELINE.json) is >=1.5x that step time on v5e.
+
+Prints exactly one JSON line:
+  {"metric": "alfa_train_imgs_per_sec_per_chip", "value": N,
+   "unit": "imgs/sec", "vs_baseline": N}
+"""
+import json
+import time
+
+A100_REFERENCE_IMGS_PER_SEC = 1500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from afan.models.resnet_s import resnet56
+    from afan.train.loop import AlfaConfig, TrainState, make_alfa_step
+    from afan.train.optim import multistep_warmup_schedule, sgd
+
+    batch = 128
+    # bf16 compute: the TPU MXU's native matmul/conv dtype.
+    model = resnet56(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 32, 32, 3),
+                    jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 10, batch))
+    variables = model.init(rng, x[:2], 0, None, False)
+
+    schedule = multistep_warmup_schedule(0.1, [50 * 351, 150 * 351], 0.1,
+                                         warmup_steps=351)
+    tx = sgd(schedule, momentum=0.9, weight_decay=5e-4)
+    state = TrainState.create(variables, tx)
+    cfg = AlfaConfig()  # main_perturb.py defaults: tap 13, 5 steps, 1.5/255
+    step = make_alfa_step(model, tx, cfg)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, x, y, jax.random.fold_in(rng, i))
+    jax.block_until_ready(state.params)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, x, y, jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "alfa_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Data-parallel mesh tests on the 8-device virtual CPU mesh.
+
+The reference never tested DataParallel off-hardware (SURVEY.md §4); here the
+full ALFA train step runs batch-sharded over 8 devices and must match the
+single-device result bit-for-bit up to float tolerance.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afan.models.resnet_s import ResNetS
+from afan.parallel.mesh import (
+    batch_sharding, check_divisible, make_mesh, replicate_state, shard_batch,
+)
+from afan.train.loop import AlfaConfig, TrainState, make_alfa_step
+from afan.train.optim import sgd
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert jax.device_count() == 8
+        mesh = make_mesh()
+        assert mesh.size == 8
+
+    def test_check_divisible(self):
+        mesh = make_mesh()
+        check_divisible(16, mesh)
+        with pytest.raises(ValueError):
+            check_divisible(12, mesh)
+
+    def test_shard_batch_layout(self):
+        mesh = make_mesh()
+        x = np.zeros((16, 8, 8, 3), np.float32)
+        xs = shard_batch(mesh, x)
+        assert xs.sharding.spec == batch_sharding(mesh).spec
+        # each device holds 2 rows of the batch
+        assert xs.addressable_shards[0].data.shape[0] == 2
+
+    def test_dp_step_matches_single_device(self):
+        m = ResNetS(num_blocks=(1, 1, 1), num_classes=4)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(16, 16, 16, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 4, 16))
+        vs = m.init(jax.random.PRNGKey(0), x, 0, None, False)
+        tx = sgd(lambda c: 0.05, momentum=0.9)
+        cfg = AlfaConfig(tap=5, steps=1)
+        step = make_alfa_step(m, tx, cfg)
+        key = jax.random.PRNGKey(7)
+
+        # single-device reference
+        s1 = TrainState.create(vs, tx)
+        s1, m1 = step(s1, x, y, key)
+
+        # 8-way data parallel: replicate state, shard batch
+        mesh = make_mesh()
+        s8 = replicate_state(mesh, TrainState.create(vs, tx))
+        xb, yb = shard_batch(mesh, x, y)
+        s8, m8 = step(s8, xb, yb, replicate_state(mesh, key))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+        l1 = jax.tree.leaves(s1.params)
+        l8 = jax.tree.leaves(s8.params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
