@@ -1,0 +1,60 @@
+"""Classification inference — port of `Classification/main_inference.py`:
+load a checkpoint, report test-set top-1 (acceptance value: the reference's
+pretrained A-FAN ResNet-56s scores 94.82% SA, `README.md:46`)."""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ..data.cifar import cifar10_dataloaders, cifar100_dataloaders
+from ..models.resnet_s import resnet56
+from ..train.checkpoint import load_checkpoint, overlap_restore
+from ..train.loop import TrainState, make_eval_step
+from ..train.optim import sgd
+from ..utils.logging import Log
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="../data")
+    p.add_argument("--dataset", choices=["cifar10", "cifar100"],
+                   default="cifar10")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--pretrained", type=str, required=True,
+                   help="checkpoint path (checkpoint.pt / best_model.pt)")
+    args = p.parse_args(argv)
+    Log.initialize()
+
+    loaders = (cifar10_dataloaders if args.dataset == "cifar10"
+               else cifar100_dataloaders)
+    _, _, test_loader = loaders(args.batch_size, args.batch_size,
+                                data_dir=args.data)
+    model = resnet56()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 32, 32, 3)), 0, None, False)
+    tx = sgd(lambda c: 0.0)
+    state = TrainState.create(variables, tx)
+    saved = load_checkpoint(args.pretrained)
+    if saved is None:
+        raise FileNotFoundError(args.pretrained)
+    params, frac = overlap_restore(state.params, saved["params"])
+    state = state.replace(params=params,
+                          batch_stats=saved.get("batch_stats",
+                                                state.batch_stats))
+    Log.i(f"loaded {frac:.1%} of params from {args.pretrained}")
+
+    eval_step = make_eval_step(model)
+    correct = count = 0
+    for x, y in test_loader:
+        out = eval_step(state, jnp.asarray(x), jnp.asarray(y))
+        correct += int(out["correct"])
+        count += int(out["count"])
+    acc = 100.0 * correct / max(count, 1)
+    Log.i(f"test accuracy: {acc:.2f}% ({correct}/{count})")
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Segmentation training driver: baseline / advtrain / A-FAN family.
+
+CLI surface covering the reference's 9 mains (`Segmentation/main_ori.py`,
+`main_advtrain.py`, `main_aug_final.py`, `main_aug_sat_{advt,clean}.py`,
+`main_aug_muti_{advt,clean}.py`, `main_aug_sat_muti_{advt,clean}.py`) via
+``--variant``, with the shared flag surface of `Segmentation/args.py:10-106`.
+
+Canonical runs: Cityscapes final — SD=concat, SE=2, gamma_se .02/.04,
+gamma_sd 1.5, w .3, mix_sd, crop 768, lr .1, bs 4
+(`sh/city/clean50/091_city_final01.sh`); VOC2012 — SD=aspp, SE=3,
+gamma_se .01, gamma_sd .4, w .3 (`sh/voc/2012/clean50/01_final50.sh`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.seg_data import cityscapes_loaders, voc_seg_loaders
+from ..eval.seg_miou import StreamSegMetrics
+from ..models.deeplab import build_model
+from ..parallel.mesh import check_divisible, make_mesh, replicate_state, shard_batch
+from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
+from ..train.loop import TrainState
+from ..train.optim import poly_schedule
+from ..train.segment_loop import (SegAfanConfig, make_afan_seg_step,
+                                  make_seg_advtrain_step, make_seg_base_step,
+                                  make_seg_eval_step, segmentation_tx)
+from ..utils.logging import Log
+
+VARIANTS = ("baseline", "advtrain", "afan", "sat", "multi", "sat_multi")
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="A-FAN TPU segmentation training")
+    p.add_argument("--variant", choices=VARIANTS, default="afan")
+    # args.py surface
+    p.add_argument("--data_root", type=str, default="./datasets/data")
+    p.add_argument("--dataset", choices=["voc", "cityscapes", "synthetic"],
+                   default="voc")
+    p.add_argument("--model", type=str, default="deeplabv3plus_resnet50")
+    p.add_argument("--output_stride", type=int, default=16, choices=[8, 16])
+    p.add_argument("--total_itrs", type=int, default=30000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_policy", choices=["poly", "step"], default="poly")
+    p.add_argument("--step_size", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--crop_size", type=int, default=513)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--loss_type", choices=["cross_entropy", "focal_loss"],
+                   default="cross_entropy")
+    p.add_argument("--val_interval", type=int, default=100)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--exp", type=str, default="afan")
+    p.add_argument("--random_seed", type=int, default=1)
+    # A-FAN flags (`args.py` SE/SD section)
+    p.add_argument("--pertub_idx_se", type=int, default=2)
+    p.add_argument("--pertub_idx_sd", choices=["aspp", "concat", "none"],
+                   default="concat")
+    p.add_argument("--gamma_se", type=float, default=0.02)
+    p.add_argument("--gamma_sd", type=float, default=1.5)
+    p.add_argument("--adv_loss_weight_sd", type=float, default=0.3)
+    p.add_argument("--mix_layer", type=str, default="00",
+                   help="AFN mask chars for the spectrum interior+adv points")
+    p.add_argument("--mix_sd", action="store_true")
+    p.add_argument("--noise_sd", type=float, default=0.0)
+    p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--eps", type=float, default=2.0)
+    p.add_argument("--randinit", action="store_true")
+    p.add_argument("--clip", action="store_true")
+    # TPU-era
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--limit_itrs", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    exp = (f"{args.dataset}_{args.exp}_selayer_{args.pertub_idx_se}"
+           f"_sdlayer_{args.pertub_idx_sd}_gamma_se{args.gamma_se}"
+           f"_gamma_sd{args.gamma_sd}_advweight{args.adv_loss_weight_sd}"
+           f"MIX{args.mix_layer}")
+    outdir = os.path.join("checkpoints", exp)
+    os.makedirs(outdir, exist_ok=True)
+    Log.initialize(os.path.join(outdir, "train.log"))
+    Log.i(f"args: {vars(args)}; save dir: [{exp}]")
+
+    if args.dataset == "cityscapes":
+        train_loader, val_loader, num_classes = cityscapes_loaders(
+            args.data_root, args.batch_size, args.crop_size,
+            seed=args.random_seed)
+    else:
+        train_loader, val_loader, num_classes = voc_seg_loaders(
+            args.data_root, args.batch_size, args.crop_size,
+            seed=args.random_seed)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(args.model, num_classes, args.output_stride, dtype)
+
+    total = args.limit_itrs or args.total_itrs
+    schedule = poly_schedule(args.lr, args.total_itrs, 0.9)
+    tx = segmentation_tx(schedule, 0.9, args.weight_decay)
+
+    rng = jax.random.PRNGKey(args.random_seed)
+    dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, False)
+    state = TrainState.create(variables, tx)
+
+    mesh = make_mesh(args.num_devices)
+    check_divisible(args.batch_size, mesh)
+    state = replicate_state(mesh, state)
+    Log.i(f"data-parallel over {mesh.size} device(s)")
+
+    cur_itrs, best_score = 0, 0.0
+    if args.ckpt and os.path.isfile(args.ckpt):
+        saved = load_checkpoint(args.ckpt)
+        params, frac = overlap_restore(state.params, saved["params"])
+        state = state.replace(params=params,
+                              batch_stats=saved.get("batch_stats",
+                                                    state.batch_stats))
+        if args.continue_training:
+            cur_itrs = saved.get("cur_itrs", 0)
+            best_score = saved.get("best_score", 0.0)
+        Log.i(f"Model restored ({frac:.1%}) from {args.ckpt}")
+
+    if args.variant == "baseline":
+        step = make_seg_base_step(model, tx)
+    elif args.variant == "advtrain":
+        step = make_seg_advtrain_step(model, tx, steps=args.steps,
+                                      gamma=args.gamma_se / 255,
+                                      eps=args.eps / 255)
+    else:
+        spectrum = {"afan": 3, "sat": 3, "multi": 2, "sat_multi": 3}[
+            args.variant]
+        mask = [0] * spectrum
+        for i, ch in enumerate(args.mix_layer[:spectrum - 1]):
+            if ch == "1":
+                mask[i + 1] = 1
+        cfg = SegAfanConfig(
+            tap_se=args.pertub_idx_se,
+            sd=None if args.pertub_idx_sd == "none" else args.pertub_idx_sd,
+            steps=args.steps, gamma_se=args.gamma_se / 255,
+            gamma_sd=args.gamma_sd / 255, eps=args.eps / 255,
+            spectrum=spectrum, mix_mask=tuple(mask), mix_sd=args.mix_sd,
+            noise_sd=args.noise_sd, randinit=args.randinit, clip=args.clip,
+            use_focal=args.loss_type == "focal_loss")
+        step = make_afan_seg_step(model, tx, cfg)
+    eval_step = make_seg_eval_step(model, num_classes)
+
+    def validate():
+        metrics = StreamSegMetrics(num_classes)
+        for imgs, labs in val_loader:
+            _, hist = eval_step(state, jnp.asarray(imgs), jnp.asarray(labs))
+            metrics.update_hist(np.asarray(hist))
+        return metrics.get_results()
+
+    interval_loss = 0.0
+    t0 = time.time()
+    while cur_itrs < total:
+        for imgs, labs in train_loader:
+            cur_itrs += 1
+            xb, yb = shard_batch(mesh, jnp.asarray(imgs), jnp.asarray(labs))
+            state, metrics = step(state, xb, yb,
+                                  jax.random.fold_in(rng, cur_itrs))
+            interval_loss += float(metrics["loss"])
+            if cur_itrs % 10 == 0:
+                Log.i(f"Itrs {cur_itrs}/{total}, Loss="
+                      f"{interval_loss / 10:.4f} "
+                      f"({10 * args.batch_size / (time.time() - t0):.2f} "
+                      f"imgs/sec)")
+                interval_loss = 0.0
+                t0 = time.time()
+            if cur_itrs % args.val_interval == 0 or cur_itrs >= total:
+                results = validate()
+                score = results["Mean IoU"]
+                Log.i(f"[Val] itrs {cur_itrs}: "
+                      f"{StreamSegMetrics.to_str(results)}")
+                payload = {"cur_itrs": cur_itrs, "params": state.params,
+                           "batch_stats": state.batch_stats,
+                           "best_score": max(best_score, score)}
+                save_checkpoint(os.path.join(
+                    outdir, f"latest_{args.model}_{args.dataset}.pt"), payload)
+                if score > best_score:
+                    best_score = score
+                    save_checkpoint(os.path.join(
+                        outdir, f"best_{args.model}_{args.dataset}.pt"),
+                        payload)
+            if cur_itrs >= total:
+                break
+
+    Log.i(f"done; best mIoU {best_score:.4f}")
+    return best_score
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Robustness and analysis evaluations.
+
+Ports of the reference's eval surface:
+
+* input-PGD robustness eval — classification ``pgd_validate``
+  (`Segmentation/args.py:223-255` / same pattern in Classification) and
+  detection ``eval_PGD`` + ``Evaluator.ori_rob_evaluate``
+  (`Detection/attack_algo.py:207-233`, `Detection/evaluator.py:90-133`);
+* SAT-layer evaluation — mAP/accuracy when evaluating FROM an interpolated
+  adversarial feature (`Detection/evaluator.py:135-183`
+  ``sat_layer_evaluate``);
+* weight-space perturbation probing for loss landscapes
+  (`Detection/attack_algo.py:296-319` ``perturb_weight`` +
+  `Detection/eval_loss_vis.py`).
+
+NOTE: the reference also ships `eval_rob.py` calling ``untarget_PGD``,
+which is commented out in its attack_algo (SURVEY.md §7.3 "broken
+eval_rob") — the working equivalent here is :func:`robust_accuracy` /
+:func:`detection_input_pgd` with the ``eval_PGD`` loss.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.attack import pgd
+from ..core.spectrum import spectrum_weights
+
+
+def make_robust_eval_step(model, num_classes: int, steps: int = 3,
+                          gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
+                          randinit: bool = True):
+    """Classification robustness: input PGD against the eval-mode model,
+    then top-1 on the adversarial inputs."""
+    import optax
+
+    def eval_fn(state, images, labels, rng):
+        variables = state.variables()
+
+        def loss_fn(x):
+            logits = model.apply(variables, x, 0, None, False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        adv = pgd(loss_fn, images, steps=steps, gamma=gamma, eps=eps,
+                  randinit=randinit, rng=rng)
+        logits = model.apply(variables, adv, 0, None, False)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return {"correct": correct,
+                "count": jnp.asarray(labels.shape[0], jnp.int32)}
+
+    return jax.jit(eval_fn)
+
+
+def make_detection_pgd_fn(model, steps: int = 3, gamma: float = 2.0 / 255,
+                          eps: float = 8.0 / 255, randinit: bool = False):
+    """``eval_PGD`` parity (`Detection/attack_algo.py:207-233`): attack the
+    input against the TRAIN-mode 4-loss sum, no final [0,1] clamp."""
+
+    def attack(state, images, gt_boxes, gt_classes, gt_valid, rng):
+        variables = state.variables()
+        r_attack, r_init = jax.random.split(rng)
+
+        def loss_fn(x):
+            return model.apply(variables, x, gt_boxes, gt_classes, gt_valid,
+                               r_attack, method=model.losses).total()
+
+        return pgd(loss_fn, images, steps=steps, gamma=gamma, eps=eps,
+                   randinit=randinit, rng=r_init)
+
+    return jax.jit(attack)
+
+
+def make_sat_layer_detect_fn(model, tap: int, alpha: float,
+                             attack_steps: int = 1,
+                             gamma: float = 0.9 / 255):
+    """``sat_layer_evaluate`` (`Detection/evaluator.py:135-183`): build the
+    adversarial feature at ``tap``, interpolate clean→adv by ``alpha``,
+    then run eval detection FROM that feature. Returns a jitted
+    (state, images, gt...) → detections function."""
+
+    def detect(state, images, gt_boxes, gt_classes, gt_valid, rng):
+        variables = state.variables()
+        feat = model.apply(variables, images, tap, False,
+                           method=model.backbone_head)
+        feat = jax.lax.stop_gradient(feat)
+
+        def loss_fn(f):
+            return model.apply(variables, images, gt_boxes, gt_classes,
+                               gt_valid, rng, tap, f,
+                               method=model.losses).total()
+
+        adv = pgd(loss_fn, feat, steps=attack_steps, gamma=gamma)
+        interp = feat + alpha * (adv - feat)
+        # eval path from the interpolated feature: tail to layer3, then the
+        # standard eval detection head
+        features = model.apply(variables, interp, tap, False,
+                               method=model.backbone_tail)
+        return _detect_from_features(model, variables, features,
+                                     images.shape)
+
+    return jax.jit(detect)
+
+
+def _detect_from_features(model, variables, features, images_shape):
+    """Eval detection from precomputed backbone features (mirrors
+    FasterRCNN.detect after the backbone)."""
+
+    def run(mdl):
+        bsz, ih, iw = images_shape[0], images_shape[1], images_shape[2]
+        fh, fw = features.shape[1], features.shape[2]
+        anchors = mdl._anchors((ih, iw), (fh, fw))
+        obj, reg = mdl.rpn(features)
+        from ..models.frcnn.rpn import generate_proposals
+        from ..models.frcnn.roi_head import generate_detections
+        proposals, pvalid = jax.vmap(
+            generate_proposals, in_axes=(None, 0, 0, None, None, None, None)
+        )(anchors, obj, reg, iw, ih, mdl.cfg.eval_pre_nms_top_n,
+          mdl.cfg.eval_post_nms_top_n)
+        s = proposals.shape[1]
+        flat = proposals.reshape(-1, 4)
+        bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), s)
+        hidden_vec = mdl._hidden_vec(features, flat, bidx, False)
+        cls, reg_o = mdl.roi_pred(hidden_vec)
+        cls = cls.reshape(bsz, s, -1)
+        reg_o = reg_o.reshape(bsz, s, -1)
+        boxes, probs, keep = jax.vmap(
+            generate_detections, in_axes=(0, 0, 0, None, None, None)
+        )(proposals, cls, reg_o, iw, ih, mdl.cfg.num_classes)
+        return boxes, probs, keep & pvalid[:, :, None]
+
+    return model.apply(variables, method=lambda mdl: run(mdl))
+
+
+def perturb_weight_directions(params, rng: np.random.RandomState):
+    """``perturb_weight`` (`Detection/attack_algo.py:296-319`): one random
+    direction per parameter, globally L2-normalized; 'normalize' layers
+    excluded there — our input normalization is parameter-free, so every
+    leaf participates."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    dirs = [rng.rand(*np.shape(l)).astype(np.float32) for l in leaves]
+    norm = np.sqrt(sum(float((d ** 2).sum()) for d in dirs))
+    dirs = [d / norm for d in dirs]
+    return jax.tree_util.tree_unflatten(treedef, dirs)
+
+
+def loss_landscape_probe(loss_fn: Callable, params, directions, scales):
+    """`eval_loss_vis.py` semantics: loss at params + scale * direction for
+    each scale. Returns list of floats."""
+    out = []
+    for s in scales:
+        shifted = jax.tree.map(lambda p, d: p + s * d, params, directions)
+        out.append(float(loss_fn(shifted)))
+    return out

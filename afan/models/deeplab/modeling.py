@@ -1,0 +1,140 @@
+"""DeepLab composite models — port of `Segmentation/network/modeling.py`
+and `_SimpleSegmentationModel` (`network/utils.py:14-47`).
+
+Constructor parity (`modeling.py:6-30`): output_stride 8 → dilate layer3+4
+with aspp rates (12, 24, 36); 16 → dilate layer4 with (6, 12, 18).
+The dict-dispatch forward becomes explicit methods:
+
+| reference input_dict                | method here            |
+|-------------------------------------|------------------------|
+| flag='head', out_idx=k              | backbone_head          |
+| int out_idx, flag='tail'/'clean'    | forward / forward_tail |
+| out_idx='aspp_head'/'concat_head'   | sd_head                |
+| out_idx='aspp_tail'/'concat_tail'   | sd_tail                |
+
+Segmentation BatchNorm trains with momentum 0.01
+(`main_aug_final.py:75` via set_bn_momentum); the backbone lr x0.1 group is
+an optimizer label (:func:`segmentation_param_labels`).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..resnet import ResNetTorso, from_name
+from .heads import DeepLabHead, DeepLabHeadV3Plus, resize_bilinear
+from .mobilenetv2 import MobileNetV2Backbone
+
+# torch BN momentum 0.01 == flax momentum 0.99 (flax's is the EMA decay)
+BN_FLAX_MOMENTUM = 0.99
+
+
+class DeepLab(nn.Module):
+    """backbone + classifier with SE (backbone layer) and SD (decoder)
+    taps."""
+    backbone_name: str = "resnet50"       # resnet50 | resnet101 | mobilenet
+    num_classes: int = 21
+    output_stride: int = 16
+    plus: bool = True                     # DeepLabV3+ vs V3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.backbone_name == "mobilenet":
+            # the reference registers mobilenet constructors but its wiring
+            # is commented out (`network/modeling.py:32-60`); this is the
+            # working implementation of that intended path.
+            self.backbone = MobileNetV2Backbone(
+                output_stride=self.output_stride, dtype=self.dtype)
+        else:
+            self.backbone = from_name(
+                self.backbone_name, output_stride=self.output_stride,
+                frozen_bn=False, bn_momentum=BN_FLAX_MOMENTUM,
+                dtype=self.dtype)
+        rates = (12, 24, 36) if self.output_stride == 8 else (6, 12, 18)
+        head_cls = DeepLabHeadV3Plus if self.plus else DeepLabHead
+        self.classifier = head_cls(num_classes=self.num_classes,
+                                   aspp_dilate=rates,
+                                   bn_momentum=BN_FLAX_MOMENTUM,
+                                   dtype=self.dtype)
+
+    # ---------- SE tap (backbone layers) ----------
+
+    def backbone_head(self, x, tap: int, train: bool = False):
+        """flag='head': (out_after_layer_tap, low_level) — low_level is
+        always exported (`network/backbone/resnet.py:201-253`)."""
+        return self.backbone.head(x, tap, train, with_low_level=True)
+
+    def forward_tail(self, x_shape, feat, low_level, tap: int,
+                     train: bool = False):
+        """int out_idx + flag='tail': backbone tail from the adversarial
+        feature, full decoder, upsample to input size
+        (`network/utils.py:22-30` + `resnet.py:255-286`)."""
+        out = self.backbone.tail(feat, tap, 4, train)
+        logits = self.classifier(out, low_level, train)
+        return resize_bilinear(logits, (x_shape[1], x_shape[2]))
+
+    # ---------- clean forward ----------
+
+    def __call__(self, x, train: bool = False):
+        out, low_level = self.backbone.head(x, 4, train, with_low_level=True)
+        logits = self.classifier(out, low_level, train)
+        return resize_bilinear(logits, (x.shape[1], x.shape[2]))
+
+    # ---------- SD taps (decoder features) ----------
+
+    def sd_head(self, x, which: str, train: bool = False) -> Dict[str, Any]:
+        """out_idx='<which>_head' (`network/utils.py:31-36`): decoder
+        feature + everything the tail needs."""
+        out, low_level = self.backbone.head(x, 4, train, with_low_level=True)
+        if which == "aspp":
+            adv = self.classifier.aspp_head(out, train)
+        elif which == "concat":
+            adv = self.classifier.concat_head(out, low_level, train)
+        else:
+            raise ValueError(f"unknown sd tap {which!r}")
+        return {"adv": adv, "low_level": low_level, "out": out}
+
+    def sd_tail(self, sd_dict: Dict[str, Any], which: str, x_shape,
+                adv_feature: Optional[jnp.ndarray] = None,
+                train: bool = False):
+        """out_idx='<which>_tail' (`network/utils.py:38-45`)."""
+        adv = adv_feature if adv_feature is not None else sd_dict["adv"]
+        if which == "aspp":
+            logits = self.classifier.aspp_tail(adv, sd_dict["low_level"],
+                                               train)
+        elif which == "concat":
+            logits = self.classifier.concat_tail(adv, train)
+        else:
+            raise ValueError(f"unknown sd tap {which!r}")
+        return resize_bilinear(logits, (x_shape[1], x_shape[2]))
+
+
+def segmentation_param_labels(params):
+    """'backbone' (lr x0.1 group, `main_aug_final.py:79-82`) vs
+    'classifier'."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "backbone"
+        if str(getattr(path[0], "key", "")) == "backbone" else "classifier",
+        params)
+
+
+MODEL_MAP = {
+    # name parity with `main_aug_final.py:63-70`
+    "deeplabv3_resnet50": dict(backbone_name="resnet50", plus=False),
+    "deeplabv3plus_resnet50": dict(backbone_name="resnet50", plus=True),
+    "deeplabv3_resnet101": dict(backbone_name="resnet101", plus=False),
+    "deeplabv3plus_resnet101": dict(backbone_name="resnet101", plus=True),
+    "deeplabv3_mobilenet": dict(backbone_name="mobilenet", plus=False),
+    "deeplabv3plus_mobilenet": dict(backbone_name="mobilenet", plus=True),
+}
+
+
+def build_model(name: str, num_classes: int, output_stride: int = 16,
+                dtype=jnp.float32) -> DeepLab:
+    if name not in MODEL_MAP:
+        raise ValueError(f"unknown model {name!r}; have {list(MODEL_MAP)}")
+    return DeepLab(num_classes=num_classes, output_stride=output_stride,
+                   dtype=dtype, **MODEL_MAP[name])

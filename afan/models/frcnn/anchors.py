@@ -12,7 +12,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from . import boxes as B
+
 
 ANCHOR_RATIOS: Tuple[Tuple[int, int], ...] = ((1, 2), (1, 1), (2, 1))
 ANCHOR_SIZES: Tuple[int, ...] = (128, 256, 512)
@@ -38,6 +38,8 @@ def generate_anchors(image_width: int, image_height: int,
     ys, xs, rr, ss = (a.reshape(-1) for a in (ys, xs, rr, ss))
     widths = ss * np.sqrt(1.0 / rr)
     heights = ss * np.sqrt(rr)
-    center_based = np.stack([xs, ys, widths, heights], axis=1)
-    corners = np.asarray(B.from_center(center_based.astype(np.float32)))
-    return corners
+    # corner conversion in pure numpy (this function must stay host-side:
+    # it runs at trace time and its output is a compile-time constant)
+    corners = np.stack([xs - widths / 2, ys - heights / 2,
+                        xs + widths / 2, ys + heights / 2], axis=1)
+    return corners.astype(np.float32)

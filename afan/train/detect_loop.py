@@ -1,0 +1,313 @@
+"""Jit-compiled train steps for the detection stack.
+
+Reference drivers: `Detection/train_baseline.py` (vanilla Faster R-CNN),
+`Detection/train_baseline_advtrain.py` (input-PGD adversarial training),
+and the A-FAN family — flagship `Detection/train_aug_final.py` (SE backbone
+tap + SD roi/rpn tap, spectrum-5, AFN mask, 6 forwards) plus its SAT
+(spectrum 3/5/7/10), multi-layer, and single-point variants, which the
+reference forks into ~14 scripts. Here ONE step factory covers the family
+via :class:`DetAfanConfig` (static layer masks / spectrum sizes — exactly
+the consolidation SURVEY.md §7 prescribes).
+
+TPU structure notes:
+* the reference runs 11+ sequential forwards per step (§3.2); here the
+  spectrum tails are vmapped into a single batched tail forward and the
+  whole step (both PGD ascents included) is one XLA program;
+* detection BatchNorm is ALWAYS frozen (`Detection/model.py:27-35`), so no
+  mutable collections exist in the step — params in, params out;
+* the stem+layer1 and all backbone BN scale/bias parameters are frozen via
+  optimizer labels (:func:`detection_param_labels`), matching
+  requires_grad=False in the reference (`backbone/resnet50.py:36-38`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.afn import mix_feature
+from ..core.attack import pgd, uniform_init
+from ..core.spectrum import sample_points
+from ..models.frcnn.model import DetectionLosses, FasterRCNN
+from .loop import TrainState, _apply_updates
+
+
+def detection_param_labels(params) -> Any:
+    """'frozen' for stem+layer1 and every backbone BN scale/bias; 'train'
+    for everything else. Feed to optax.multi_transform with
+    {'train': sgd(...), 'frozen': optax.set_to_zero()}."""
+
+    def label(path, leaf):
+        keys = [str(getattr(p, "key", "")) for p in path]
+        joined = "/".join(keys)
+        in_backbone = "backbone" in joined
+        if in_backbone and ("conv1" == keys[1] or "bn1" == keys[1]
+                            or "layer1" in joined):
+            return "frozen"
+        if in_backbone and ("/bn" in joined or "ds_bn" in joined):
+            # FrozenBatchNorm scale/bias anywhere in the backbone
+            return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def detection_tx(schedule, momentum: float = 0.9,
+                 weight_decay: float = 0.0005) -> optax.GradientTransformation:
+    from .optim import sgd
+    return optax.multi_transform(
+        {"train": sgd(schedule, momentum, weight_decay),
+         "frozen": optax.set_to_zero()},
+        detection_param_labels)
+
+
+def make_baseline_det_step(model: FasterRCNN, tx):
+    """Vanilla Faster R-CNN step (`train_baseline.py:74-90`):
+    loss = mean of the 4 loss vectors, SGD."""
+
+    def step_fn(state: TrainState, images, gt_boxes, gt_classes, gt_valid,
+                rng):
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            losses = model.apply(vs, images, gt_boxes,
+                                 gt_classes, gt_valid, rng,
+                                 method=model.losses)
+            return losses.total(), losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_advtrain_det_step(model: FasterRCNN, tx, steps: int = 5,
+                           gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
+                           randinit: bool = True):
+    """Input-PGD adversarial training (`train_baseline_advtrain.py:75-89`):
+    k-step input attack via ``adv_input`` semantics, training on the
+    adversarial loss only."""
+
+    def step_fn(state: TrainState, images, gt_boxes, gt_classes, gt_valid,
+                rng):
+        r_attack, r_loss, r_init = jax.random.split(rng, 3)
+        variables = state.variables()
+
+        def input_loss(x):
+            return model.apply(variables, x, gt_boxes, gt_classes, gt_valid,
+                               r_attack, method=model.losses).total()
+
+        adv = pgd(input_loss, images, steps=steps, gamma=gamma, eps=eps,
+                  randinit=randinit, rng=r_init)
+        adv = jnp.clip(jax.lax.stop_gradient(adv), 0.0, 1.0)
+
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            losses = model.apply(vs, adv, gt_boxes,
+                                 gt_classes, gt_valid, r_loss,
+                                 method=model.losses)
+            return losses.total(), losses
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+@dataclasses.dataclass(frozen=True)
+class DetAfanConfig:
+    """The A-FAN detection hyperparameter surface
+    (`train_aug_final.py:200-247` argparse + the SAT/multi variants).
+
+    gamma values here are ALREADY divided by 255 (the drivers divide).
+    ``taps_se`` generalizes the single ``pertub_idx_se``: the multi-layer
+    variants (`train_aug_muti_advt.py:91-100`) perturb several backbone
+    layers at once, each with its own gamma and AFN flag.
+    """
+    taps_se: Sequence[int] = (2,)
+    gammas_se: Sequence[float] = (0.9 / 255,)
+    spectrum: int = 5                 # sat3/5/7/10 variants (`*_sat*:83`)
+    mix_mask: Sequence[int] = (0, 0, 0, 0, 0)  # AFN per spectrum point (f1..f4)
+    sd: Optional[str] = "roi"         # 'roi' | 'rpn' | None
+    gamma_sd: float = 0.1 / 255
+    only_roi_sd: bool = True
+    mix_sd: bool = False
+    noise_sd: float = 0.0
+    sd_weight: float = 0.3            # args.sd_adv_loss_weight
+    steps: int = 1
+    eps: float = 2.0 / 255
+    randinit: bool = False
+    clip: bool = False
+    remat_tails: bool = True          # jax.checkpoint the spectrum tails
+
+
+def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
+    """The flagship A-FAN detection step (`train_aug_final.py:70-166`):
+
+    1. SE head forward(s) to the backbone tap(s), detached (`:78-85`);
+    2. roi_head forward exporting the pooled SD feature + frozen sampling
+       targets (`:79,84`);
+    3. 1-step PGD on each SE feature through the FULL detection loss
+       (`:87-95`) and on the SD feature through the roi(-only) loss
+       (`:97-107`);
+    4. optional AFN / uniform noise on the SD feature (`:111-115`);
+    5. spectrum of N points on the (first) SE tap, AFN per mask (`:117-126`);
+    6. loss = (clean + spectrum tails)/3 * (1-w_sd) + sd_tail/3 * w_sd
+       (`:128-156`), gradients, SGD.
+
+    The reference's 6 sequential tail forwards become ONE vmapped batched
+    tail; both ascents and the update compile into a single XLA program.
+    """
+    n_spec = cfg.spectrum
+    assert len(cfg.mix_mask) == n_spec, "mix_mask must match spectrum size"
+
+    def step_fn(state: TrainState, images, gt_boxes, gt_classes, gt_valid,
+                rng):
+        variables = state.variables()
+        r_se, r_sd, r_clean, r_spec, r_noise = jax.random.split(rng, 5)
+
+        def full_losses(params_vars, tap, feat, r):
+            return model.apply(params_vars, images, gt_boxes, gt_classes,
+                               gt_valid, r, tap, feat, method=model.losses)
+
+        # (1) SE features, detached
+        se_feats = []
+        for tap in cfg.taps_se:
+            f = model.apply(variables, images, tap, True,
+                            method=model.backbone_head)
+            se_feats.append(jax.lax.stop_gradient(f))
+
+        # (3a) PGD per SE tap through the full 4-loss tail
+        se_advs = []
+        for tap, feat, g in zip(cfg.taps_se, se_feats, cfg.gammas_se):
+            def se_loss(f, tap=tap):
+                return full_losses(variables, tap, f, r_se).total()
+            adv = pgd(se_loss, feat, steps=cfg.steps, gamma=g, eps=cfg.eps,
+                      randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
+            se_advs.append(jax.lax.stop_gradient(adv))
+
+        # (2)+(3b) SD attack
+        adv_sd = None
+        if cfg.sd == "roi":
+            roi_dict = model.apply(variables, images, gt_boxes, gt_classes,
+                                   gt_valid, r_sd,
+                                   method=model.roi_head_forward)
+            sd_clean = jax.lax.stop_gradient(roi_dict["roi_feature_map"])
+
+            def sd_loss(rf):
+                L = model.apply(variables, roi_dict, rf,
+                                method=model.roi_tail_losses)
+                if cfg.only_roi_sd:
+                    return (L.proposal_class.mean()
+                            + L.proposal_transformer.mean())
+                return L.total()
+
+            adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
+                         gamma=cfg.gamma_sd, eps=cfg.eps,
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+            adv_sd = jax.lax.stop_gradient(adv_sd)
+            # (4) AFN + noise on the SD feature (`:111-115`)
+            if cfg.mix_sd:
+                adv_sd = mix_feature(sd_clean, adv_sd)
+            if cfg.noise_sd:
+                adv_sd = adv_sd + uniform_init(
+                    r_noise, adv_sd.shape, cfg.gamma_sd * cfg.noise_sd)
+        elif cfg.sd == "rpn":
+            # The working version of the reference's dead rpn branch
+            # (`attack_algo.py:116-150` — its update is commented out).
+            rpn_dict = model.apply(variables, images,
+                                   method=model.rpn_head_forward)
+            sd_clean = jax.lax.stop_gradient(rpn_dict["rpn_feature"])
+
+            def sd_loss(rf):
+                return model.apply(variables, rpn_dict, images.shape,
+                                   gt_boxes, gt_classes, gt_valid, r_sd, rf,
+                                   method=model.rpn_tail_losses).total()
+
+            adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
+                         gamma=cfg.gamma_sd, eps=cfg.eps,
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+            adv_sd = jax.lax.stop_gradient(adv_sd)
+            if cfg.mix_sd:
+                adv_sd = mix_feature(sd_clean, adv_sd)
+            if cfg.noise_sd:
+                adv_sd = adv_sd + uniform_init(
+                    r_noise, adv_sd.shape, cfg.gamma_sd * cfg.noise_sd)
+
+        # (5) spectrum on the FIRST SE tap (`:117-126`); other taps (multi
+        # variant) contribute their single adv point.
+        spec = sample_points(se_feats[0], se_advs[0], n_spec)
+        mixed = []
+        for i in range(1, n_spec):  # point 0 (clean) is never forwarded
+            p = spec[i]
+            if cfg.mix_mask[i]:
+                p = mix_feature(se_feats[0], p)
+            mixed.append(p)
+        spec_feats = jnp.stack(mixed, axis=0)  # (n_spec-1, B, h, w, C)
+
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            l0 = full_losses(vs, None, None, r_clean).total()
+
+            def one_tail(feat, r):
+                return full_losses(vs, cfg.taps_se[0], feat, r).total()
+            if cfg.remat_tails:
+                one_tail = jax.checkpoint(one_tail)
+            spec_rngs = jax.random.split(r_spec, n_spec - 1)
+            tail_losses = jax.vmap(one_tail)(spec_feats, spec_rngs)
+            l_spectrum = jnp.sum(tail_losses)
+
+            # extra multi-layer single adv points (`train_aug_muti*`)
+            l_multi = 0.0
+            for tap, adv in zip(cfg.taps_se[1:], se_advs[1:]):
+                l_multi = l_multi + full_losses(vs, tap, adv, r_spec).total()
+
+            if cfg.sd == "roi":
+                rd = model.apply(vs, images, gt_boxes, gt_classes, gt_valid,
+                                 r_sd, method=model.roi_head_forward)
+                l_sd = model.apply(vs, rd, adv_sd,
+                                   method=model.roi_tail_losses).total()
+            elif cfg.sd == "rpn":
+                rd = model.apply(vs, images, method=model.rpn_head_forward)
+                l_sd = model.apply(vs, rd, images.shape, gt_boxes,
+                                   gt_classes, gt_valid, r_sd, adv_sd,
+                                   method=model.rpn_tail_losses).total()
+            else:
+                l_sd = 0.0
+
+            # `:156`: ((l0 + l1..l4) / 3) * (1-w) + l5/3 * w
+            main = (l0 + l_spectrum + l_multi) / 3.0
+            if cfg.sd is not None:
+                loss = main * (1.0 - cfg.sd_weight) + (l_sd / 3.0) * cfg.sd_weight
+            else:
+                loss = main
+            return loss, (l0, l_spectrum, l_sd)
+
+        (loss, (l0, lspec, lsd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        metrics = {"loss": loss, "loss_clean": l0,
+                   "loss_spectrum": lspec,
+                   "loss_sd": lsd if cfg.sd else jnp.zeros(())}
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_detect_fn(model: FasterRCNN):
+    """Jitted eval forward → (boxes, probs, keep)."""
+
+    def detect(state: TrainState, images):
+        return model.apply(state.variables(), images,
+                           method=model.detect)
+
+    return jax.jit(detect)

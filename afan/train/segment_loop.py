@@ -1,0 +1,288 @@
+"""Jit-compiled train steps for the segmentation stack.
+
+Reference drivers: `Segmentation/main_ori.py` (baseline),
+`main_advtrain.py` (input-PGD), flagship `main_aug_final.py` (SE backbone
+tap + SD aspp/concat decoder tap, spectrum-3, AFN mask, 4 forwards, loss
+0.7/0.1/0.1/0.1), and the sat/multi variants — consolidated into one step
+factory via :class:`SegAfanConfig`.
+
+Segmentation (unlike detection) TRAINS its BatchNorms (momentum 0.01,
+`main_aug_final.py:75`), so steps carry mutable batch_stats; the ascent
+closures run train-mode BN with discarded stat updates (see
+afan.train.loop's module docstring for the documented divergence), and the
+canonical batch_stats update comes from the clean forward.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.afn import mix_feature
+from ..core.attack import pgd, uniform_init
+from ..core.spectrum import sample_points
+from ..models.deeplab.modeling import DeepLab, segmentation_param_labels
+from .loop import TrainState, _apply_updates
+from .optim import sgd
+
+
+def seg_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                      ignore_index: int = 255) -> jnp.ndarray:
+    """nn.CrossEntropyLoss(ignore_index=255, reduction='mean') parity:
+    mean over non-ignored pixels."""
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1)
+
+
+def seg_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                   alpha: float = 1.0, gamma: float = 2.0,
+                   ignore_index: int = 255) -> jnp.ndarray:
+    """FocalLoss parity (`Segmentation/utils/loss.py:5-20`):
+    alpha * (1 - exp(-CE))^gamma * CE, mean over pixels."""
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    focal = alpha * (1 - jnp.exp(-ce)) ** gamma * ce
+    return jnp.sum(jnp.where(mask, focal, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1)
+
+
+def segmentation_tx(schedule, momentum: float = 0.9,
+                    weight_decay: float = 1e-4,
+                    backbone_lr_scale: float = 0.1):
+    """Two-group SGD: backbone lr x0.1, classifier lr x1
+    (`main_aug_final.py:79-82`)."""
+    return optax.multi_transform(
+        {"backbone": sgd(lambda c: schedule(c) * backbone_lr_scale,
+                         momentum, weight_decay),
+         "classifier": sgd(schedule, momentum, weight_decay)},
+        segmentation_param_labels)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegAfanConfig:
+    """`main_aug_final.py` flag surface (gammas ALREADY /255)."""
+    tap_se: int = 2                    # pertub_idx_se (backbone layer)
+    sd: Optional[str] = "concat"       # 'aspp' | 'concat' | None
+    steps: int = 1
+    gamma_se: float = 0.02 / 255       # city final: .02/.04 (sh/city/...)
+    gamma_sd: float = 1.5 / 255
+    eps: float = 2.0 / 255
+    spectrum: int = 3                  # sat spectrum (`:206-210`)
+    mix_mask: Sequence[int] = (0, 0, 0)
+    mix_sd: bool = False
+    noise_sd: float = 0.0
+    clean_weight: float = 0.7          # loss = .7 l0 + .1 each (`:229`)
+    adv_weight: float = 0.1
+    randinit: bool = False
+    clip: bool = False
+    use_focal: bool = False
+    remat_tails: bool = True
+
+
+def make_seg_base_step(model: DeepLab, tx):
+    """`main_ori.py` baseline step."""
+
+    def step_fn(state: TrainState, images, labels, rng):
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            logits, updates = model.apply(
+                vs, images, True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            return seg_cross_entropy(logits, labels), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             batch_stats=updates["batch_stats"],
+                             step=state.step + 1), {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_seg_advtrain_step(model: DeepLab, tx, steps: int = 3,
+                           gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
+                           randinit: bool = True):
+    """`main_advtrain.py:185-200`: input PGD, train on adversarial loss."""
+
+    def step_fn(state: TrainState, images, labels, rng):
+        variables = state.variables()
+        r_attack, r_loss, r_init = jax.random.split(rng, 3)
+
+        def input_loss(x):
+            logits = model.apply(variables, x, True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": r_attack})[0]
+            return seg_cross_entropy(logits, labels)
+
+        adv = pgd(input_loss, images, steps=steps, gamma=gamma, eps=eps,
+                  randinit=randinit, rng=r_init)
+        adv = jnp.clip(jax.lax.stop_gradient(adv), 0.0, 1.0)
+
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            logits, updates = model.apply(vs, adv, True,
+                                          mutable=["batch_stats"],
+                                          rngs={"dropout": r_loss})
+            return seg_cross_entropy(logits, labels), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             batch_stats=updates["batch_stats"],
+                             step=state.step + 1), {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
+    """The flagship A-FAN segmentation step (`main_aug_final.py:152-232`):
+
+    1. SE head to backbone tap (+low_level), detached (`:160-170`);
+    2. SD head to the aspp/concat decoder feature, detached (`:161-166`);
+    3. PGD on SE through the full tail (backbone tail + decoder + upsample)
+       and on SD through the classifier-only tail (`:172-197`);
+    4. optional AFN + noise on SD (`:199-204`);
+    5. spectrum-N on SE with AFN per 2-char mask (`:206-210`);
+    6. loss = .7 clean + .1 * each adv forward (`:212-229`).
+    """
+    n_spec = cfg.spectrum
+    assert len(cfg.mix_mask) == n_spec
+    criterion = seg_focal_loss if cfg.use_focal else seg_cross_entropy
+
+    def step_fn(state: TrainState, images, labels, rng):
+        variables = state.variables()
+        r_se, r_sd, r_clean, r_spec, r_noise = jax.random.split(rng, 5)
+
+        # (1) SE head
+        feat_se, low_level = model.apply(
+            variables, images, cfg.tap_se, True, mutable=["batch_stats"],
+            method=model.backbone_head, rngs={"dropout": r_se})[0]
+        feat_se = jax.lax.stop_gradient(feat_se)
+        low_level = jax.lax.stop_gradient(low_level)
+
+        def se_tail_logits(vs, f, r, mutable=True):
+            out = model.apply(vs, images.shape, f, low_level, cfg.tap_se,
+                              True, mutable=["batch_stats"] if mutable else [],
+                              method=model.forward_tail,
+                              rngs={"dropout": r})
+            return out[0] if mutable else out
+
+        # (3a) PGD on SE
+        def se_loss(f):
+            return criterion(se_tail_logits(variables, f, r_se), labels)
+
+        adv_se = pgd(se_loss, feat_se, steps=cfg.steps, gamma=cfg.gamma_se,
+                     eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
+                     rng=r_se)
+        adv_se = jax.lax.stop_gradient(adv_se)
+
+        # (2)+(3b) SD attack on the decoder feature
+        adv_sd = None
+        if cfg.sd is not None:
+            sd_dict = model.apply(variables, images, cfg.sd, True,
+                                  mutable=["batch_stats"],
+                                  method=model.sd_head,
+                                  rngs={"dropout": r_sd})[0]
+            sd_dict = jax.lax.stop_gradient(sd_dict)
+            sd_clean = sd_dict["adv"]
+
+            def sd_loss(f):
+                logits = model.apply(variables, sd_dict, cfg.sd,
+                                     images.shape, f, True,
+                                     mutable=["batch_stats"],
+                                     method=model.sd_tail,
+                                     rngs={"dropout": r_sd})[0]
+                return criterion(logits, labels)
+
+            adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
+                         gamma=cfg.gamma_sd, eps=cfg.eps,
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+            adv_sd = jax.lax.stop_gradient(adv_sd)
+            if cfg.mix_sd:
+                adv_sd = mix_feature(sd_clean, adv_sd)
+            if cfg.noise_sd:
+                adv_sd = adv_sd + uniform_init(
+                    r_noise, adv_sd.shape, cfg.gamma_sd * cfg.noise_sd)
+
+        # (5) spectrum on SE
+        spec = sample_points(feat_se, adv_se, n_spec)
+        spec_feats = []
+        for i in range(1, n_spec):
+            p = spec[i]
+            if cfg.mix_mask[i]:
+                p = mix_feature(feat_se, p)
+            spec_feats.append(p)
+        spec_feats = jnp.stack(spec_feats, axis=0)
+
+        # (6) combined loss
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            logits0, updates = model.apply(vs, images, True,
+                                           mutable=["batch_stats"],
+                                           rngs={"dropout": r_clean})
+            l0 = criterion(logits0, labels)
+
+            def one_tail(f, r):
+                return criterion(se_tail_logits(vs, f, r), labels)
+            if cfg.remat_tails:
+                one_tail = jax.checkpoint(one_tail)
+            spec_rngs = jax.random.split(r_spec, n_spec - 1)
+            tail_losses = jax.vmap(one_tail)(spec_feats, spec_rngs)
+            l_adv = jnp.sum(tail_losses)
+
+            if cfg.sd is not None:
+                # recompute the SD head differentiably w.r.t. params with
+                # the same rng, then classify the adversarial feature —
+                # matching the reference's single-graph backward
+                sdd = model.apply(vs, images, cfg.sd, True,
+                                  mutable=["batch_stats"],
+                                  method=model.sd_head,
+                                  rngs={"dropout": r_sd})[0]
+                logits_sd = model.apply(vs, sdd, cfg.sd, images.shape,
+                                        adv_sd, True,
+                                        mutable=["batch_stats"],
+                                        method=model.sd_tail,
+                                        rngs={"dropout": r_sd})[0]
+                l_sd = criterion(logits_sd, labels)
+            else:
+                l_sd = 0.0
+
+            loss = (cfg.clean_weight * l0 + cfg.adv_weight * l_adv
+                    + (cfg.adv_weight * l_sd if cfg.sd is not None else 0.0))
+            return loss, (l0, l_adv, l_sd, updates)
+
+        (loss, (l0, ladv, lsd, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        metrics = {"loss": loss, "loss_clean": l0, "loss_spectrum": ladv,
+                   "loss_sd": lsd if cfg.sd else jnp.zeros(())}
+        return state.replace(params=new_params, opt_state=new_opt,
+                             batch_stats=updates["batch_stats"],
+                             step=state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_seg_eval_step(model: DeepLab, num_classes: int):
+    """Eval forward → (pred labels, device-side confusion matrix)
+    (`args.py:168-220` validate loop)."""
+    from ..eval.seg_miou import confusion_matrix_jnp
+
+    def eval_fn(state: TrainState, images, labels):
+        logits = model.apply(state.variables(), images, False)
+        preds = jnp.argmax(logits, axis=-1)
+        hist = confusion_matrix_jnp(labels, preds, num_classes)
+        return preds, hist
+
+    return jax.jit(eval_fn)

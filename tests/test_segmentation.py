@@ -1,0 +1,161 @@
+"""Segmentation stack tests: losses, metrics, data encoding, DeepLab taps,
+and the A-FAN segmentation step on the mobilenet backbone (the cheapest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afan.data.seg_data import (CITY_ID_TO_TRAIN_LUT, IGNORE, SegLoader,
+                                SegSample, color_jitter, random_crop,
+                                random_scale, voc_seg_loaders)
+from afan.eval.seg_miou import StreamSegMetrics, confusion_matrix_jnp
+from afan.train.segment_loop import seg_cross_entropy, seg_focal_loss
+
+
+class TestSegLosses:
+    def test_ce_ignore_index(self):
+        logits = jnp.zeros((1, 2, 2, 3))
+        labels = jnp.asarray([[[0, 1], [255, 2]]])
+        # uniform logits → CE = log(3) on the 3 valid pixels
+        got = float(seg_cross_entropy(logits, labels))
+        np.testing.assert_allclose(got, np.log(3), rtol=1e-5)
+
+    def test_all_ignored_is_zero(self):
+        logits = jnp.zeros((1, 2, 2, 3))
+        labels = jnp.full((1, 2, 2), 255)
+        assert float(seg_cross_entropy(logits, labels)) == 0.0
+
+    def test_focal_less_than_ce_for_confident(self):
+        logits = jnp.zeros((1, 2, 2, 3)).at[..., 0].set(4.0)
+        labels = jnp.zeros((1, 2, 2), jnp.int32)
+        assert float(seg_focal_loss(logits, labels)) < float(
+            seg_cross_entropy(logits, labels))
+
+
+class TestStreamMetrics:
+    def test_perfect_prediction(self):
+        m = StreamSegMetrics(3)
+        lab = np.asarray([[0, 1], [2, 1]])
+        m.update(lab[None], lab[None])
+        r = m.get_results()
+        assert r["Mean IoU"] == pytest.approx(1.0)
+        assert r["Overall Acc"] == pytest.approx(1.0)
+
+    def test_known_confusion(self):
+        m = StreamSegMetrics(2)
+        lab = np.asarray([[0, 0], [1, 1]])
+        pred = np.asarray([[0, 1], [1, 1]])
+        m.update(lab[None], pred[None])
+        r = m.get_results()
+        # class0: tp1 fn1 fp0 → iou 1/2 ; class1: tp2 fp1 → iou 2/3
+        np.testing.assert_allclose(r["Mean IoU"], (0.5 + 2 / 3) / 2,
+                                   rtol=1e-6)
+
+    def test_device_hist_matches_host(self):
+        rng = np.random.RandomState(0)
+        lab = rng.randint(0, 5, (2, 8, 8))
+        lab[0, 0, 0] = 255  # ignore
+        pred = rng.randint(0, 5, (2, 8, 8))
+        m = StreamSegMetrics(5)
+        m.update(lab, pred)
+        hist = confusion_matrix_jnp(jnp.asarray(lab), jnp.asarray(pred), 5)
+        np.testing.assert_array_equal(np.asarray(hist), m.confusion_matrix)
+
+
+class TestCityEncoding:
+    def test_lut(self):
+        assert CITY_ID_TO_TRAIN_LUT[7] == 0      # road
+        assert CITY_ID_TO_TRAIN_LUT[33] == 18    # bicycle
+        assert CITY_ID_TO_TRAIN_LUT[0] == IGNORE
+        assert CITY_ID_TO_TRAIN_LUT[255] == IGNORE
+
+
+class TestSegTransforms:
+    def test_random_crop_pads_label_with_ignore(self):
+        rng = np.random.RandomState(0)
+        img = np.zeros((10, 10, 3), np.float32)
+        lab = np.ones((10, 10), np.int32)
+        ci, cl = random_crop(img, lab, rng, 16, pad_if_needed=True)
+        assert ci.shape == (16, 16, 3) and cl.shape == (16, 16)
+        assert (cl == IGNORE).sum() > 0 and (cl == 1).sum() == 100
+
+    def test_random_scale_keeps_label_values(self):
+        rng = np.random.RandomState(1)
+        img = np.zeros((20, 20, 3), np.float32)
+        lab = np.full((20, 20), 7, np.int32)
+        si, sl = random_scale(img, lab, rng)
+        assert set(np.unique(sl)) == {7}   # nearest keeps exact ids
+
+    def test_color_jitter_range(self):
+        rng = np.random.RandomState(2)
+        img = np.random.RandomState(3).rand(8, 8, 3).astype(np.float32)
+        out = color_jitter(img, rng)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_loader_synthetic(self):
+        tr, va, n = voc_seg_loaders("/nonexistent", 2, crop_size=32)
+        imgs, labs = next(iter(tr))
+        assert imgs.shape == (2, 32, 32, 3) and labs.shape == (2, 32, 32)
+        assert n == 21
+
+
+class TestDeepLabTaps:
+    @pytest.fixture(scope="class")
+    def model_vars(self):
+        from afan.models.deeplab import build_model
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        x = jnp.zeros((1, 32, 32, 3))
+        rng = jax.random.PRNGKey(0)
+        vs = m.init({"params": rng, "dropout": rng}, x, False)
+        return m, vs, x
+
+    def test_clean_forward_shape(self, model_vars):
+        m, vs, x = model_vars
+        logits = m.apply(vs, x, False)
+        assert logits.shape == (1, 32, 32, 4)
+
+    def test_se_head_tail_consistency(self, model_vars):
+        m, vs, x = model_vars
+        full = m.apply(vs, x, False)
+        feat, low = m.apply(vs, x, 2, False, method=m.backbone_head)
+        out = m.apply(vs, x.shape, feat, low, 2, False,
+                      method=m.forward_tail)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("which", ["aspp", "concat"])
+    def test_sd_head_tail_consistency(self, model_vars, which):
+        m, vs, x = model_vars
+        full = m.apply(vs, x, False)
+        d = m.apply(vs, x, which, False, method=m.sd_head)
+        out = m.apply(vs, d, which, x.shape, None, False, method=m.sd_tail)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestSegAfanStep:
+    def test_step_runs_and_updates(self):
+        from afan.models.deeplab import build_model
+        from afan.train.loop import TrainState
+        from afan.train.optim import poly_schedule
+        from afan.train.segment_loop import (SegAfanConfig,
+                                             make_afan_seg_step,
+                                             segmentation_tx)
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                        jnp.float32)
+        y = jnp.asarray(np.random.RandomState(1).randint(0, 4, (1, 32, 32)))
+        rng = jax.random.PRNGKey(0)
+        vs = m.init({"params": rng, "dropout": rng}, x, False)
+        tx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+        state = TrainState.create(vs, tx)
+        cfg = SegAfanConfig(tap_se=2, sd="aspp", spectrum=3,
+                            mix_mask=(0, 0, 1), mix_sd=True)
+        step = make_afan_seg_step(m, tx, cfg)
+        state, metrics = step(state, x, y, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+        # backbone and classifier both updated (different lr groups)
+        a = vs["params"]["classifier"]["aspp"]["b0"]["conv"]["kernel"]
+        b = state.params["classifier"]["aspp"]["b0"]["conv"]["kernel"]
+        assert not bool(jnp.allclose(a, b))
