@@ -1,0 +1,156 @@
+"""Pallas TPU greedy-NMS kernel — the analog of the reference's CUDA
+bitmask kernel (`Detection/support/src/cuda/nms.cu:23-131`, 64-thread
+tiles + host-side scan), redesigned for the TPU grid model:
+
+* boxes arrive score-sorted in a TRANSPOSED (4, N) layout so each
+  coordinate is one lane-contiguous row in VMEM;
+* the full (N,) suppression vector lives in VMEM scratch, which persists
+  across the sequential TPU grid;
+* grid step i resolves its 128-box tile with an in-register ``fori_loop``
+  (the greedy data dependence), then suppresses all later boxes with
+  column-chunked (128, CHUNK) vectorized IoU tiles on the VPU — no N x N
+  matrix ever exists, and VMEM transients stay bounded. The pure-JAX
+  fallback in :mod:`afan.ops.nms` materializes the full matrix, which is
+  fine for eval-sized N but does not scale (in compile time or memory) to
+  the 12k-anchor training path;
+* suppression convention matches the reference kernels: ``iou >=
+  threshold``, optional legacy +1 pixel areas.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+CHUNK = 1024  # column-tile width for the suppress-later sweep
+
+
+def _pairwise_over(tx1, ty1, tx2, ty2, tarea, cx1, cy1, cx2, cy2, carea,
+                   threshold, off):
+    """(BLOCK, W) IoU >= threshold mask of tile columns vs chunk rows."""
+    jx1 = jnp.maximum(tx1, cx1)
+    jy1 = jnp.maximum(ty1, cy1)
+    jx2 = jnp.minimum(tx2, cx2)
+    jy2 = jnp.minimum(ty2, cy2)
+    jw = jnp.maximum(jx2 - jx1 + off, 0.0)
+    jh = jnp.maximum(jy2 - jy1 + off, 0.0)
+    jinter = jw * jh
+    jiou = jinter / jnp.maximum(tarea + carea - jinter, 1e-12)
+    return (jiou >= threshold).astype(jnp.float32)
+
+
+def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, mat_ref, *,
+                n_pad: int, threshold: float, off: float):
+    """One grid step. boxes_ref: (4, n_pad) [x1;y1;x2;y2] score-sorted;
+    valid_ref/keep_ref/sup_ref: (1, n_pad) float rows (1.0 = true)."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(i * BLOCK, BLOCK)
+
+    @pl.when(i == 0)
+    def _():
+        sup_ref[:] = 1.0 - valid_ref[:]   # invalid slots start suppressed
+
+    def coord(r, lo, width):
+        return boxes_ref[r:r + 1, pl.ds(lo, width)]
+
+    # my tile as (BLOCK, 1) columns
+    tx1 = coord(0, start, BLOCK).reshape(BLOCK, 1)
+    ty1 = coord(1, start, BLOCK).reshape(BLOCK, 1)
+    tx2 = coord(2, start, BLOCK).reshape(BLOCK, 1)
+    ty2 = coord(3, start, BLOCK).reshape(BLOCK, 1)
+    tarea = (tx2 - tx1 + off) * (ty2 - ty1 + off)
+
+    # (1) within-tile pairwise suppression matrix, strictly j > i
+    sup_mat = _pairwise_over(
+        tx1, ty1, tx2, ty2, tarea,
+        tx1.reshape(1, BLOCK), ty1.reshape(1, BLOCK),
+        tx2.reshape(1, BLOCK), ty2.reshape(1, BLOCK),
+        tarea.reshape(1, BLOCK), threshold, off)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    sup_mat = sup_mat * (col_ids > row_ids).astype(jnp.float32)
+
+    # (2) sequential greedy within the tile on a (1, BLOCK) register row.
+    # The suppression matrix is staged in VMEM scratch so row k is a cheap
+    # dynamic-sublane load (dynamic_slice of VALUES is not lowerable on
+    # TPU Pallas, and a masked reduce over (128,128) per iteration is ~20x
+    # slower); the kept_k scalar is a (1, BLOCK) masked reduce.
+    mat_ref[:] = sup_mat
+    sup_tile0 = sup_ref[0:1, pl.ds(start, BLOCK)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+
+    # 16 dynamic iterations of 8 statically-unrolled steps: each group
+    # loads one (8, BLOCK) sublane block of the suppression matrix and
+    # resolves its 8 rows with static sublane slicing — ~8x fewer loop
+    # iterations than a 128-step fori, same exact greedy result.
+    GROUP = 8
+
+    def group_body(g, sup_row):
+        rows = mat_ref[pl.ds(g * GROUP, GROUP), :]       # (8, BLOCK)
+        for j in range(GROUP):
+            k = g * GROUP + j
+            kept_k = 1.0 - jnp.sum(jnp.where(lane == k, sup_row, 0.0))
+            sup_row = jnp.minimum(sup_row + kept_k * rows[j:j + 1, :], 1.0)
+        return sup_row
+
+    sup_tile = jax.lax.fori_loop(0, BLOCK // GROUP, group_body, sup_tile0)
+    kept_col = (1.0 - sup_tile).reshape(BLOCK, 1)
+    sup_ref[0:1, pl.ds(start, BLOCK)] = sup_tile
+
+    # (3) suppress all LATER boxes, chunked over columns to bound VMEM.
+    # Only chunks at or after this tile can contain later boxes.
+    num_chunks = n_pad // CHUNK
+
+    def sweep(ci, _):
+        lo = pl.multiple_of(ci * CHUNK, CHUNK)
+        over = _pairwise_over(
+            tx1, ty1, tx2, ty2, tarea,
+            coord(0, lo, CHUNK), coord(1, lo, CHUNK),
+            coord(2, lo, CHUNK), coord(3, lo, CHUNK),
+            (coord(2, lo, CHUNK) - coord(0, lo, CHUNK) + off)
+            * (coord(3, lo, CHUNK) - coord(1, lo, CHUNK) + off),
+            threshold, off)
+        hit_any = jnp.max(over * kept_col, axis=0, keepdims=True)
+        gcol = lo + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        later = (gcol >= start + BLOCK).astype(jnp.float32)
+        cur = sup_ref[0:1, pl.ds(lo, CHUNK)]
+        sup_ref[0:1, pl.ds(lo, CHUNK)] = jnp.minimum(
+            cur + hit_any * later, 1.0)
+        return 0
+
+    first_chunk = start // CHUNK
+    jax.lax.fori_loop(first_chunk, num_chunks, sweep, 0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        keep_ref[:] = (1.0 - sup_ref[:]) * valid_ref[:]
+
+
+def nms_sorted_mask_pallas(boxes_sorted: jnp.ndarray,
+                           valid_sorted: jnp.ndarray, threshold: float,
+                           plus_one: bool = True,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Keep mask (in sorted order) for score-descending boxes (N, 4)."""
+    n = boxes_sorted.shape[0]
+    n_pad = -(-n // CHUNK) * CHUNK   # CHUNK-divisible (also BLOCK-divisible)
+    bt = jnp.pad(boxes_sorted.astype(jnp.float32).T,
+                 ((0, 0), (0, n_pad - n)))            # (4, n_pad)
+    v = jnp.pad(valid_sorted.astype(jnp.float32),
+                (0, n_pad - n)).reshape(1, n_pad)
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel, n_pad=n_pad, threshold=threshold,
+                          off=1.0 if plus_one else 0.0),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32),
+                        pltpu.VMEM((BLOCK, BLOCK), jnp.float32)],
+        interpret=interpret,
+    )(bt, v)
+    return keep[0, :n] > 0.5

@@ -92,22 +92,36 @@ def _greedy_suppress(iou_sorted: jnp.ndarray, valid_sorted: jnp.ndarray,
     return keep[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "plus_one"))
+@functools.partial(jax.jit,
+                   static_argnames=("threshold", "plus_one", "use_pallas"))
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, threshold: float,
-             valid: Optional[jnp.ndarray] = None, plus_one: bool = True
-             ) -> jnp.ndarray:
+             valid: Optional[jnp.ndarray] = None, plus_one: bool = True,
+             use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Exact greedy NMS; returns a keep mask aligned with the INPUT order.
 
     ``valid`` masks padded input slots (treated as absent). ``plus_one``
     selects the legacy +1 area convention of the reference kernels.
+
+    Two exact implementations, same result (parity-tested):
+    * the Pallas kernel (:mod:`afan.ops.kernels.nms_kernel`) — never
+      materializes the N x N IoU matrix; the only option that compiles and
+      runs at the 12k-anchor training scale. Default on TPU for N >= 1024.
+    * the pure-JAX blockwise path below — used on CPU/small N.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and n >= 1024
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
     b = boxes[order]
-    iou = pairwise_iou(b, b, plus_one=plus_one)
-    keep_sorted = _greedy_suppress(iou, valid[order], threshold)
+    if use_pallas:
+        from .kernels.nms_kernel import nms_sorted_mask_pallas
+        keep_sorted = nms_sorted_mask_pallas(b, valid[order], threshold,
+                                             plus_one=plus_one)
+    else:
+        iou = pairwise_iou(b, b, plus_one=plus_one)
+        keep_sorted = _greedy_suppress(iou, valid[order], threshold)
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep
 

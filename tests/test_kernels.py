@@ -1,0 +1,78 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU test mesh)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afan.core.afn import mix_feature
+from afan.ops.kernels.afn_kernel import mix_feature_pallas
+from afan.ops.kernels.pgd_step import pgd_update_pallas, pgd_update_reference
+
+
+class TestPgdStepKernel:
+    @pytest.mark.parametrize("shape", [(128,), (4, 33, 7), (2, 16, 16, 16)])
+    def test_matches_reference(self, shape):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        g = jnp.asarray(rng.randn(*shape), jnp.float32)
+        got = pgd_update_pallas(x, g, gamma=0.01, interpret=True)
+        want = pgd_update_reference(x, g, gamma=0.01)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+
+    def test_clip_matches_reference(self):
+        rng = np.random.RandomState(1)
+        shape = (3, 50)
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        g = jnp.asarray(rng.randn(*shape), jnp.float32)
+        c = jnp.asarray(rng.randn(*shape), jnp.float32)
+        got = pgd_update_pallas(x, g, c, gamma=0.05, eps=0.1, clip=True,
+                                interpret=True)
+        want = pgd_update_reference(x, g, c, gamma=0.05, eps=0.1, clip=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+        assert float(jnp.max(jnp.abs(got - c))) <= 0.1 + 1e-6
+
+
+class TestAfnKernel:
+    @pytest.mark.parametrize("shape", [(6, 64), (2, 4, 4, 100),
+                                       (3, 5, 256)])
+    def test_matches_reference(self, shape):
+        rng = np.random.RandomState(2)
+        clean = jnp.asarray(rng.randn(*shape), jnp.float32)
+        adv = jnp.asarray(rng.randn(*shape) * 2 + 1, jnp.float32)
+        got = mix_feature_pallas(clean, adv, interpret=True)
+        want = mix_feature(clean, adv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestNmsKernel:
+    def _random(self, n, seed):
+        rng = np.random.RandomState(seed)
+        xy = rng.rand(n, 2) * 400
+        wh = rng.rand(n, 2) * 80 + 4
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        order = np.argsort(-scores)
+        return boxes[order], scores[order]
+
+    @pytest.mark.parametrize("n", [128, 300, 1024])
+    def test_matches_oracle(self, n):
+        from afan.ops.kernels.nms_kernel import nms_sorted_mask_pallas
+        from afan.ops.native import nms_cpu
+        bs, ss = self._random(n, n)
+        keep = np.asarray(nms_sorted_mask_pallas(
+            jnp.asarray(bs), jnp.ones(n, bool), 0.6, interpret=True))
+        want = set(nms_cpu(bs, ss, 0.6).tolist())
+        assert set(np.nonzero(keep)[0].tolist()) == want
+
+    def test_valid_mask(self):
+        from afan.ops.kernels.nms_kernel import nms_sorted_mask_pallas
+        from afan.ops.native import nms_cpu
+        bs, ss = self._random(256, 7)
+        valid = np.arange(256) < 100
+        keep = np.asarray(nms_sorted_mask_pallas(
+            jnp.asarray(bs), jnp.asarray(valid), 0.6, interpret=True))
+        want = set(nms_cpu(bs[:100], ss[:100], 0.6).tolist())
+        assert set(np.nonzero(keep)[0].tolist()) == want
+        assert not keep[100:].any()
