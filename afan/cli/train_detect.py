@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.voc_det import voc_detection_loaders
+from ..data.registry import DETECTION_DATASETS, detection_loaders
 from ..eval.det_map import DetectionEvaluator
 from ..models.frcnn import FRCNNConfig, FasterRCNN
 from ..parallel.mesh import check_divisible, make_mesh, replicate_state, shard_batch
@@ -37,6 +37,7 @@ from ..train.detect_loop import (DetAfanConfig, detection_tx,
 from ..train.loop import TrainState
 from ..train.optim import warmup_multistep_schedule
 from ..utils.logging import Log
+from ..utils.observe import ScalarWriter
 
 VARIANTS = ("baseline", "advtrain", "afan", "sat", "sat3", "sat7", "sat10",
             "multi", "sat_multi", "single")
@@ -46,8 +47,7 @@ def get_parser():
     p = argparse.ArgumentParser(description="A-FAN TPU detection training")
     p.add_argument("--variant", choices=VARIANTS, default="afan")
     p.add_argument("-s", "--dataset", default="voc2007",
-                   choices=["voc2007", "voc20072012", "coco2017",
-                            "synthetic"])
+                   choices=list(DETECTION_DATASETS))
     p.add_argument("-b", "--backbone", default="resnet50",
                    choices=["resnet18", "resnet50", "resnet101"])
     p.add_argument("-d", "--data_dir", default="./data")
@@ -127,10 +127,9 @@ def main(argv=None):
     Log.initialize(os.path.join(args.outputs_dir, "train.log"))
     Log.i(f"args: {vars(args)}")
 
-    train_loader, eval_loader, num_classes = voc_detection_loaders(
-        args.data_dir, args.batch_size, args.image_min_side,
-        args.image_max_side, seed=args.seed,
-        dataset=args.dataset if args.dataset != "synthetic" else "voc2007")
+    train_loader, eval_loader, num_classes = detection_loaders(
+        args.dataset, args.data_dir, args.batch_size, args.image_min_side,
+        args.image_max_side, seed=args.seed)
     Log.i(f"Found {len(train_loader.samples)} train samples")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -183,6 +182,8 @@ def main(argv=None):
     detect_fn = make_detect_fn(model)
 
     losses = deque(maxlen=100)
+    summary_writer = ScalarWriter(os.path.join(args.outputs_dir,
+                                               "summaries"))
     step = step0
     t_ckpt = time.time()
     should_stop = False
@@ -195,6 +196,7 @@ def main(argv=None):
             state, metrics = train_step(state, xb, bb, lb, vb, step_rng)
             step += 1
             losses.append(float(metrics["loss"]))
+            summary_writer.add_scalar("train/loss", losses[-1], step)
             if step == args.num_steps_to_finish:
                 should_stop = True
             if step % args.num_steps_to_display == 0:
@@ -213,14 +215,18 @@ def main(argv=None):
                                        "step": step})
                 Log.i(f"Model saved to {path}")
             if args.eval_every and step % args.eval_every == 0:
-                evaluator = DetectionEvaluator(eval_loader, detect_fn,
-                                               num_classes)
+                evaluator = DetectionEvaluator(
+                    eval_loader, detect_fn, num_classes,
+                    protocol="coco" if args.dataset.startswith("coco")
+                    else "voc")
                 mean_ap, _ = evaluator.evaluate(state)
                 Log.i(f"[Step {step}] mAP = {mean_ap:.4f}")
             if should_stop:
                 break
 
-    evaluator = DetectionEvaluator(eval_loader, detect_fn, num_classes)
+    protocol = "coco" if args.dataset.startswith("coco") else "voc"
+    evaluator = DetectionEvaluator(eval_loader, detect_fn, num_classes,
+                                   protocol=protocol)
     mean_ap, detail = evaluator.evaluate(state)
     Log.i(f"final mAP = {mean_ap:.4f}\n{detail}")
     return mean_ap

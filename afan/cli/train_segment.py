@@ -31,6 +31,7 @@ from ..train.segment_loop import (SegAfanConfig, make_afan_seg_step,
                                   make_seg_advtrain_step, make_seg_base_step,
                                   make_seg_eval_step, segmentation_tx)
 from ..utils.logging import Log
+from ..utils.observe import ScalarWriter
 
 VARIANTS = ("baseline", "advtrain", "afan", "sat", "multi", "sat_multi")
 
@@ -160,6 +161,7 @@ def main(argv=None):
             metrics.update_hist(np.asarray(hist))
         return metrics.get_results()
 
+    writer = ScalarWriter(os.path.join("runs", exp))
     interval_loss = 0.0
     t0 = time.time()
     while cur_itrs < total:
@@ -169,6 +171,8 @@ def main(argv=None):
             state, metrics = step(state, xb, yb,
                                   jax.random.fold_in(rng, cur_itrs))
             interval_loss += float(metrics["loss"])
+            writer.add_scalar("train/loss", float(metrics["loss"]),
+                              cur_itrs)
             if cur_itrs % 10 == 0:
                 Log.i(f"Itrs {cur_itrs}/{total}, Loss="
                       f"{interval_loss / 10:.4f} "
@@ -179,6 +183,7 @@ def main(argv=None):
             if cur_itrs % args.val_interval == 0 or cur_itrs >= total:
                 results = validate()
                 score = results["Mean IoU"]
+                writer.add_scalar("val/mIoU", score, cur_itrs)
                 Log.i(f"[Val] itrs {cur_itrs}: "
                       f"{StreamSegMetrics.to_str(results)}")
                 payload = {"cur_itrs": cur_itrs, "params": state.params,

@@ -134,11 +134,15 @@ class DetectionEvaluator:
     PROB_THRESH = 0.05
 
     def __init__(self, loader, detect_fn, num_classes: int,
-                 use_07_metric: bool = True):
+                 use_07_metric: bool = True, protocol: str = "voc"):
+        """``protocol``: 'voc' (voc_eval 11-pt/continuous AP@0.5) or 'coco'
+        (COCOeval AP@[.5:.95], `coco2017.py:160-171` semantics via
+        afan.eval.coco_map)."""
         self.loader = loader
         self.detect_fn = detect_fn
         self.num_classes = num_classes
         self.use_07 = use_07_metric
+        self.protocol = protocol
 
     def evaluate(self, state) -> Tuple[float, str]:
         all_ids: List[str] = []
@@ -169,6 +173,15 @@ class DetectionEvaluator:
         if not all_ids:
             return 0.0, "no detections"
         boxes_arr = np.stack(all_boxes) if all_boxes else np.zeros((0, 4))
+        if self.protocol == "coco":
+            from .coco_map import coco_bbox_ap
+            gt_nodiff = {k: (b, l) for k, (b, l, _) in gt.items()}
+            res = coco_bbox_ap(self.num_classes, gt_nodiff, all_ids,
+                               boxes_arr, np.asarray(all_classes),
+                               np.asarray(all_probs))
+            detail = (f"AP = {res['AP']:.4f}, AP50 = {res['AP50']:.4f}, "
+                      f"AP75 = {res['AP75']:.4f}")
+            return res["AP"], detail
         mean_ap, aps = evaluate_detections(
             self.num_classes, gt, all_ids, boxes_arr,
             np.asarray(all_classes), np.asarray(all_probs),

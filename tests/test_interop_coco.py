@@ -1,0 +1,137 @@
+"""Tests: torch checkpoint interop + the self-contained COCO-protocol AP."""
+import numpy as np
+import pytest
+
+
+class TestCocoAP:
+    def test_perfect_detections(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = {"a": (np.asarray([[0., 0, 10, 10], [20, 20, 40, 40]]),
+                    np.asarray([1, 2]))}
+        ap = coco_bbox_ap(3, gt, ["a", "a"],
+                          np.asarray([[0., 0, 10, 10], [20, 20, 40, 40]]),
+                          np.asarray([1, 2]), np.asarray([0.9, 0.9]))
+        assert ap["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert ap["AP50"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_loose_box_passes_50_fails_75(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        # IoU ≈ 0.58: TP at 0.5/0.55, FP at 0.6+
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        ap = coco_bbox_ap(2, gt, ["a"], np.asarray([[0., 0, 10, 7.3]]),
+                          np.asarray([1]), np.asarray([0.9]))
+        assert ap["AP50"] == pytest.approx(1.0, abs=1e-6)
+        assert ap["AP75"] == 0.0
+        assert 0.0 < ap["AP"] < 1.0
+
+    def test_missing_class_skipped(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        # class 2 has no gt anywhere → excluded from the mean (COCOeval -1)
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        ap = coco_bbox_ap(3, gt, ["a"], np.asarray([[0., 0, 10, 10]]),
+                          np.asarray([1]), np.asarray([0.9]))
+        assert ap["AP"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_ranking_matters(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        # high-scored FP above the TP → precision at recall 1 is 1/2
+        ap = coco_bbox_ap(2, gt, ["a", "a"],
+                          np.asarray([[50., 50, 60, 60], [0, 0, 10, 10]]),
+                          np.asarray([1, 1]), np.asarray([0.9, 0.5]))
+        assert ap["AP50"] < 1.0
+
+
+class TestCocoLoader:
+    def test_parse_json(self, tmp_path):
+        import json
+        from afan.data.coco import load_coco_samples
+        ann = {
+            "images": [{"id": 7, "file_name": "x.jpg", "width": 100,
+                        "height": 80}],
+            "annotations": [
+                {"image_id": 7, "category_id": 3, "bbox": [10, 10, 20, 30],
+                 "iscrowd": 0},
+                {"image_id": 7, "category_id": 1, "bbox": [0, 0, 5, 5],
+                 "iscrowd": 1},  # crowd → dropped
+            ],
+            "categories": [],
+        }
+        path = tmp_path / "inst.json"
+        path.write_text(json.dumps(ann))
+        samples, nc = load_coco_samples(str(path), "/img")
+        assert nc == 92 and len(samples) == 1
+        s = samples[0]
+        np.testing.assert_allclose(s.boxes, [[10, 10, 30, 40]])
+        assert s.labels.tolist() == [3]
+
+    def test_subset_remap(self, tmp_path):
+        import json
+        from afan.data.coco import load_coco_samples, ANIMAL_IDS
+        ann = {"images": [{"id": 1, "file_name": "a.jpg", "width": 50,
+                           "height": 50}],
+               "annotations": [
+                   {"image_id": 1, "category_id": 17, "bbox": [0, 0, 10, 10],
+                    "iscrowd": 0},      # cat → subset label 2
+                   {"image_id": 1, "category_id": 3, "bbox": [0, 0, 9, 9],
+                    "iscrowd": 0}],     # car → dropped in animal subset
+               "categories": []}
+        path = tmp_path / "inst.json"
+        path.write_text(json.dumps(ann))
+        samples, nc = load_coco_samples(str(path), "/img", ANIMAL_IDS)
+        assert nc == 11
+        assert samples[0].labels.tolist() == [2]
+
+
+class TestTorchInterop:
+    def test_resnet_s_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import jax, jax.numpy as jnp
+        from afan.interop.torch_ckpt import load_torch_resnet_s
+        from afan.models.resnet_s import ResNetS
+
+        # synthesize a torch state dict with the reference's key layout
+        # for a tiny (1,1,1) ResNet-s
+        rng = np.random.RandomState(0)
+        sd = {}
+        sd["sequential_model.1.weight"] = torch.tensor(
+            rng.randn(16, 3, 3, 3).astype(np.float32))
+        for pre, ch in [("sequential_model.2", 16)]:
+            sd[f"{pre}.weight"] = torch.ones(ch)
+            sd[f"{pre}.bias"] = torch.zeros(ch)
+            sd[f"{pre}.running_mean"] = torch.zeros(ch)
+            sd[f"{pre}.running_var"] = torch.ones(ch)
+        chans = [16, 32, 64]
+        ins = [16, 16, 32]
+        for b in range(3):
+            idx = 4 + b
+            sd[f"sequential_model.{idx}.conv1.weight"] = torch.tensor(
+                rng.randn(chans[b], ins[b], 3, 3).astype(np.float32))
+            sd[f"sequential_model.{idx}.conv2.weight"] = torch.tensor(
+                rng.randn(chans[b], chans[b], 3, 3).astype(np.float32))
+            for bn in ("bn1", "bn2"):
+                pre = f"sequential_model.{idx}.{bn}"
+                sd[f"{pre}.weight"] = torch.ones(chans[b])
+                sd[f"{pre}.bias"] = torch.zeros(chans[b])
+                sd[f"{pre}.running_mean"] = torch.zeros(chans[b])
+                sd[f"{pre}.running_var"] = torch.ones(chans[b])
+        sd["sequential_model.9.weight"] = torch.tensor(
+            rng.randn(10, 64).astype(np.float32))
+        sd["sequential_model.9.bias"] = torch.zeros(10)
+        sd["w"] = torch.full((9,), 1.0 / 9)
+        path = tmp_path / "ckpt.pt"
+        torch.save({"state_dict": sd}, str(path))
+
+        params, stats, frac = load_torch_resnet_s(str(path),
+                                                  num_blocks=(1, 1, 1))
+        assert frac == 1.0
+        # the converted tree must drop into the flax model and run
+        m = ResNetS(num_blocks=(1, 1, 1))
+        x = jnp.zeros((2, 32, 32, 3))
+        init = m.init(jax.random.PRNGKey(0), x, 0, None, False)
+        from afan.train.checkpoint import overlap_restore
+        merged, mfrac = overlap_restore(init["params"], params)
+        assert mfrac == 1.0  # every init leaf found a converted leaf
+        out = m.apply({"params": merged, "batch_stats": stats},
+                      x, 0, None, False)
+        assert out.shape == (2, 10)
