@@ -1,0 +1,125 @@
+"""Segmentation evaluation — the `--test_only` / `--save_val_results` /
+``pgd_validate`` surface of `Segmentation/args.py:168-255` and
+`main_aug_final.py`.
+
+``--task miou``: clean validation mIoU (StreamSegMetrics).
+``--task pgd``: robustness mIoU under input PGD (`args.py:223-255`).
+``--save_val_results``: dump color-decoded prediction PNGs
+(`cityscapes.py decode_target` / the VOC color map).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.attack import pgd
+from ..data.seg_data import (CITY_TRAIN_COLORS, cityscapes_loaders,
+                             voc_seg_loaders)
+from ..eval.seg_miou import StreamSegMetrics
+from ..models.deeplab import build_model
+from ..train.checkpoint import load_checkpoint, overlap_restore
+from ..train.loop import TrainState
+from ..train.segment_loop import (make_seg_eval_step, seg_cross_entropy,
+                                  segmentation_tx)
+from ..utils.logging import Log
+
+
+def voc_color_map(n: int = 256) -> np.ndarray:
+    """The canonical VOC segmentation palette (bit-shuffled), as used by
+    `datasets/voc.py`'s decode_target."""
+    cmap = np.zeros((n, 3), np.uint8)
+    for i in range(n):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=["miou", "pgd"], default="miou")
+    p.add_argument("--data_root", default="./datasets/data")
+    p.add_argument("--dataset", choices=["voc", "cityscapes"], default="voc")
+    p.add_argument("--model", default="deeplabv3plus_resnet50")
+    p.add_argument("--output_stride", type=int, default=16)
+    p.add_argument("--crop_size", type=int, default=513)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--save_val_results", action="store_true")
+    p.add_argument("--results_dir", default="results")
+    # pgd flags (`args.py` eval section)
+    p.add_argument("--pgd_steps", type=int, default=3)
+    p.add_argument("--pgd_gamma", type=float, default=2.0)
+    p.add_argument("--pgd_eps", type=float, default=8.0)
+    p.add_argument("--limit_images", type=int, default=0)
+    args = p.parse_args(argv)
+    Log.initialize()
+
+    loaders = (cityscapes_loaders if args.dataset == "cityscapes"
+               else voc_seg_loaders)
+    _, val_loader, num_classes = loaders(args.data_root, 1, args.crop_size)
+
+    model = build_model(args.model, num_classes, args.output_stride)
+    rng = jax.random.PRNGKey(0)
+    ch, cw = val_loader.eval_canvas or (args.crop_size, args.crop_size)
+    dummy = jnp.zeros((1, ch, cw, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, False)
+    tx = segmentation_tx(lambda c: 0.0)
+    state = TrainState.create(variables, tx)
+    if args.ckpt:
+        saved = load_checkpoint(args.ckpt)
+        params, frac = overlap_restore(state.params, saved["params"])
+        state = state.replace(params=params,
+                              batch_stats=saved.get("batch_stats",
+                                                    state.batch_stats))
+        Log.i(f"restored {frac:.1%} from {args.ckpt}")
+
+    eval_step = make_seg_eval_step(model, num_classes)
+
+    if args.task == "pgd":
+        variables_eval = state.variables()
+
+        @jax.jit
+        def attack(images, labels, rng):
+            def loss_fn(x):
+                logits = model.apply(variables_eval, x, False)
+                return seg_cross_entropy(logits, labels)
+            return jnp.clip(pgd(loss_fn, images, steps=args.pgd_steps,
+                                gamma=args.pgd_gamma / 255,
+                                eps=args.pgd_eps / 255), 0.0, 1.0)
+
+    metrics = StreamSegMetrics(num_classes)
+    palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"
+               else voc_color_map()[:num_classes])
+    if args.save_val_results:
+        os.makedirs(args.results_dir, exist_ok=True)
+    for i, (imgs, labs) in enumerate(val_loader):
+        if args.limit_images and i >= args.limit_images:
+            break
+        x = jnp.asarray(imgs)
+        y = jnp.asarray(labs)
+        if args.task == "pgd":
+            x = attack(x, y, jax.random.fold_in(rng, i))
+        preds, hist = eval_step(state, x, y)
+        metrics.update_hist(np.asarray(hist))
+        if args.save_val_results:
+            from PIL import Image
+            pred = np.asarray(preds[0])
+            color = palette[np.clip(pred, 0, len(palette) - 1)]
+            Image.fromarray(color).save(
+                os.path.join(args.results_dir, f"{i:06d}_pred.png"))
+    results = metrics.get_results()
+    Log.i(StreamSegMetrics.to_str(results))
+    return results["Mean IoU"]
+
+
+if __name__ == "__main__":
+    main()

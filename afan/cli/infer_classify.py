@@ -24,6 +24,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--pretrained", type=str, required=True,
                    help="checkpoint path (checkpoint.pt / best_model.pt)")
+    p.add_argument("--pgd", action="store_true",
+                   help="report robust accuracy under input PGD instead "
+                        "of clean accuracy")
+    p.add_argument("--pgd_steps", type=int, default=3)
+    p.add_argument("--pgd_gamma", type=float, default=2.0)
+    p.add_argument("--pgd_eps", type=float, default=8.0)
     args = p.parse_args(argv)
     Log.initialize()
 
@@ -44,6 +50,23 @@ def main(argv=None):
                           batch_stats=saved.get("batch_stats",
                                                 state.batch_stats))
     Log.i(f"loaded {frac:.1%} of params from {args.pretrained}")
+
+    if args.pgd:
+        from ..eval.robustness import make_robust_eval_step
+        rob_step = make_robust_eval_step(
+            model, 10, steps=args.pgd_steps, gamma=args.pgd_gamma / 255,
+            eps=args.pgd_eps / 255)
+        rng = jax.random.PRNGKey(0)
+        correct = count = 0
+        for i, (x, y) in enumerate(test_loader):
+            out = rob_step(state, jnp.asarray(x), jnp.asarray(y),
+                           jax.random.fold_in(rng, i))
+            correct += int(out["correct"])
+            count += int(out["count"])
+        acc = 100.0 * correct / max(count, 1)
+        Log.i(f"robust accuracy (PGD-{args.pgd_steps}): {acc:.2f}% "
+              f"({correct}/{count})")
+        return acc
 
     eval_step = make_eval_step(model)
     correct = count = 0
