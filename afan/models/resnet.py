@@ -181,6 +181,11 @@ class ResNetTorso(nn.Module):
     frozen_bn: bool = True
     bn_momentum: float = 0.9
     include_normalize: bool = True
+    # rematerialize each stage in backward passes: trades ~25% FLOPs for a
+    # large activation-memory cut — required for full-scale (600x1000)
+    # detection training on a 16GB chip (jax.checkpoint, SURVEY.md design
+    # note "use remat to trade FLOPs for memory")
+    remat: bool = True
     dtype: Any = jnp.float32
 
     def _dilations(self) -> Tuple[List[int], List[int]]:
@@ -197,10 +202,12 @@ class ResNetTorso(nn.Module):
         block = Bottleneck if self.block_name == "bottleneck" else BasicBlockI
         strides, dils = self._dilations()
         planes = (64, 128, 256, 512)
+        stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
+                     if self.remat else ResNetStage)
         stages = []
         prev_dil = 1
         for i in range(4):
-            stages.append(ResNetStage(
+            stages.append(stage_cls(
                 block=block, planes=planes[i], num_blocks=self.layers[i],
                 stride=strides[i], dilation=dils[i], prev_dilation=prev_dil,
                 frozen_bn=self.frozen_bn, bn_momentum=self.bn_momentum,

@@ -48,16 +48,19 @@ def main():
     cfg = AlfaConfig()  # main_perturb.py defaults: tap 13, 5 steps, 1.5/255
     step = make_alfa_step(model, tx, cfg)
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync by materializing a metric value — on
+    # this TPU runtime block_until_ready does not reliably await the
+    # dispatched chain (verified empirically), so every timing here
+    # fetches the final step's loss, which transitively forces all steps.
     for i in range(3):
         state, metrics = step(state, x, y, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
+    _ = float(metrics["loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, x, y, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state.params)
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
