@@ -39,8 +39,9 @@ from ..train.optim import warmup_multistep_schedule
 from ..utils.logging import Log
 from ..utils.observe import ScalarWriter
 
-VARIANTS = ("baseline", "advtrain", "afan", "sat", "sat3", "sat7", "sat10",
-            "multi", "sat_multi", "single")
+VARIANTS = ("baseline", "advtrain", "afan", "sat", "sat_clean", "sat3",
+            "sat7", "sat10", "multi", "multi_clean", "sat_multi",
+            "sat_multi_clean", "single")
 
 
 def get_parser():
@@ -87,6 +88,8 @@ def get_parser():
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--loss_settings", type=int, default=1,
+                   help="SAT weight preset 1-4 (train_aug_sat_advt.py)")
     # TPU-era additions
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
@@ -97,13 +100,15 @@ def get_parser():
 
 
 def afan_config_for(args) -> DetAfanConfig:
-    spectrum = {"afan": 5, "sat": 5, "sat3": 3, "sat7": 7, "sat10": 10,
-                "single": 2, "multi": 2, "sat_multi": 5}[args.variant]
+    spectrum = {"afan": 5, "sat": 5, "sat_clean": 5, "sat3": 3, "sat7": 7,
+                "sat10": 10, "single": 2, "multi": 2, "multi_clean": 2,
+                "sat_multi": 5, "sat_multi_clean": 5}[args.variant]
     mask = [0] * spectrum
     for i, ch in enumerate(args.mix_layer[:spectrum - 1]):
         if ch == "1":
             mask[i + 1] = 1
-    if args.variant in ("multi", "sat_multi"):
+    if args.variant in ("multi", "multi_clean", "sat_multi",
+                        "sat_multi_clean"):
         # `train_aug_muti_advt.py:91-100`: layers 1,2,3 with tiny gammas on
         # 1 and 2, the main gamma on 3
         taps = (3, 1, 2)
@@ -113,12 +118,31 @@ def afan_config_for(args) -> DetAfanConfig:
         taps = (args.pertub_idx_se,)
         gammas = (args.gamma_se / 255,)
     sd = None if args.pertub_idx_sd == "none" else args.pertub_idx_sd
+    # SAT family: layer-2 tap, AFN on the upper spectrum points, the
+    # sat_preset loss, input-adv for the *_advt names
+    # (`train_aug_sat_advt.py:80-92`); the reference's SAT scripts run
+    # WITHOUT the SD attack.
+    weight_mode = "final"
+    input_adv = False
+    if args.variant.startswith("sat") and args.variant != "sat_multi":
+        weight_mode = "sat_preset"
+        sd = None
+        input_adv = not args.variant.endswith("_clean")
+    elif args.variant == "single":
+        weight_mode = "single"
+        sd = None
+    elif args.variant.endswith("_clean"):
+        input_adv = False
+    elif args.variant in ("multi", "sat_multi"):
+        input_adv = True
     return DetAfanConfig(
         taps_se=taps, gammas_se=gammas, spectrum=spectrum,
         mix_mask=tuple(mask), sd=sd, gamma_sd=args.gamma_sd / 255,
         only_roi_sd=args.only_roi_sd, mix_sd=args.mix_sd,
         noise_sd=args.noise_sd, sd_weight=args.sd_adv_loss_weight,
-        steps=args.steps, randinit=args.randinit, clip=args.clip)
+        steps=args.steps, randinit=args.randinit, clip=args.clip,
+        weight_mode=weight_mode, loss_setting=args.loss_settings,
+        input_adv=input_adv)
 
 
 def main(argv=None):

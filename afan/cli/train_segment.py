@@ -33,7 +33,8 @@ from ..train.segment_loop import (SegAfanConfig, make_afan_seg_step,
 from ..utils.logging import Log
 from ..utils.observe import ScalarWriter
 
-VARIANTS = ("baseline", "advtrain", "afan", "sat", "multi", "sat_multi")
+VARIANTS = ("baseline", "advtrain", "afan", "sat", "sat_clean", "multi",
+            "multi_clean", "sat_multi", "sat_multi_clean")
 
 
 def get_parser():
@@ -71,6 +72,7 @@ def get_parser():
     p.add_argument("--mix_sd", action="store_true")
     p.add_argument("--noise_sd", type=float, default=0.0)
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--loss_settings", type=int, default=1)
     p.add_argument("--eps", type=float, default=2.0)
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
@@ -137,20 +139,37 @@ def main(argv=None):
                                       gamma=args.gamma_se / 255,
                                       eps=args.eps / 255)
     else:
-        spectrum = {"afan": 3, "sat": 3, "multi": 2, "sat_multi": 3}[
-            args.variant]
+        base = args.variant.replace("_clean", "")
+        spectrum = {"afan": 3, "sat": 3, "multi": 2, "sat_multi": 3}[base]
         mask = [0] * spectrum
         for i, ch in enumerate(args.mix_layer[:spectrum - 1]):
             if ch == "1":
                 mask[i + 1] = 1
+        input_adv = args.variant != "afan" and not args.variant.endswith(
+            "_clean")
+        weight_mode = {"afan": "final", "sat": "sat_preset",
+                       "multi": "multi_preset",
+                       "sat_multi": "multi_preset"}[base]
+        if base in ("multi", "sat_multi"):
+            # `main_aug_muti_advt.py:180-197`: taps 1-4, gamma .1/255 on
+            # tap 3, .001/255 on the others; spectrum (sat_multi) rides
+            # the main tap (3)
+            tap_se, extra = 3, (1, 2, 4)
+            eg = (0.001 / 255,) * 3
+            gamma_se = 0.1 / 255
+        else:
+            tap_se, extra, eg = args.pertub_idx_se, (), ()
+            gamma_se = args.gamma_se / 255
         cfg = SegAfanConfig(
-            tap_se=args.pertub_idx_se,
+            tap_se=tap_se, extra_taps=extra, extra_gammas=eg,
             sd=None if args.pertub_idx_sd == "none" else args.pertub_idx_sd,
-            steps=args.steps, gamma_se=args.gamma_se / 255,
+            steps=args.steps, gamma_se=gamma_se,
             gamma_sd=args.gamma_sd / 255, eps=args.eps / 255,
             spectrum=spectrum, mix_mask=tuple(mask), mix_sd=args.mix_sd,
             noise_sd=args.noise_sd, randinit=args.randinit, clip=args.clip,
-            use_focal=args.loss_type == "focal_loss")
+            use_focal=args.loss_type == "focal_loss",
+            weight_mode=weight_mode, loss_setting=args.loss_settings,
+            input_adv=input_adv)
         step = make_afan_seg_step(model, tx, cfg)
     eval_step = make_seg_eval_step(model, num_classes)
 

@@ -147,6 +147,21 @@ class DetAfanConfig:
     randinit: bool = False
     clip: bool = False
     remat_tails: bool = True          # jax.checkpoint the spectrum tails
+    # loss combination mode:
+    #   'final'      — the flagship rule (`train_aug_final.py:156`)
+    #   'sat_preset' — the SAT loss_settings presets
+    #                  (`train_aug_sat_advt.py:119-132`): lca = 0.2*(l0 +
+    #                  spectrum); 1: lca, 2: .5 lca+.5 l0, 3: .4/.6, 4: .3/.7
+    #   'single'     — 0.5*l0 + 0.5*l_adv (`train_aug_single_advt.py:95`)
+    weight_mode: str = "final"
+    loss_setting: int = 1
+    # input-space adversarial term replacing the clean forward (the *_advt
+    # variants, `train_aug_sat_advt.py:78`): 5-step adv_input with
+    # gamma 0.3/255, eps 2/255, randinit+clip
+    input_adv: bool = False
+    input_adv_steps: int = 5
+    input_adv_gamma: float = 0.3 / 255
+    input_adv_eps: float = 2.0 / 255
 
 
 def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
@@ -172,11 +187,24 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
     def step_fn(state: TrainState, images, gt_boxes, gt_classes, gt_valid,
                 rng):
         variables = state.variables()
-        r_se, r_sd, r_clean, r_spec, r_noise = jax.random.split(rng, 5)
+        r_se, r_sd, r_clean, r_spec, r_noise, r_inp = jax.random.split(rng, 6)
 
-        def full_losses(params_vars, tap, feat, r):
-            return model.apply(params_vars, images, gt_boxes, gt_classes,
+        def full_losses(params_vars, tap, feat, r, x=None):
+            return model.apply(params_vars, x if x is not None else images,
+                               gt_boxes, gt_classes,
                                gt_valid, r, tap, feat, method=model.losses)
+
+        # input-adv image for the *_advt variants (replaces the clean
+        # forward's input; the SE tails still see the clean image,
+        # `train_aug_sat_advt.py:78-92`)
+        images_l0 = images
+        if cfg.input_adv:
+            def inp_loss(x):
+                return full_losses(variables, None, None, r_inp, x=x).total()
+            adv_img = pgd(inp_loss, images, steps=cfg.input_adv_steps,
+                          gamma=cfg.input_adv_gamma, eps=cfg.input_adv_eps,
+                          randinit=True, clip=True, rng=r_inp)
+            images_l0 = jnp.clip(jax.lax.stop_gradient(adv_img), 0.0, 1.0)
 
         # (1) SE features, detached
         se_feats = []
@@ -255,7 +283,7 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
 
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
-            l0 = full_losses(vs, None, None, r_clean).total()
+            l0 = full_losses(vs, None, None, r_clean, x=images_l0).total()
 
             def one_tail(feat, r):
                 return full_losses(vs, cfg.taps_se[0], feat, r).total()
@@ -283,12 +311,21 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
             else:
                 l_sd = 0.0
 
-            # `:156`: ((l0 + l1..l4) / 3) * (1-w) + l5/3 * w
-            main = (l0 + l_spectrum + l_multi) / 3.0
-            if cfg.sd is not None:
-                loss = main * (1.0 - cfg.sd_weight) + (l_sd / 3.0) * cfg.sd_weight
+            if cfg.weight_mode == "single":
+                loss = 0.5 * l0 + 0.5 * (l_spectrum + l_multi)
+            elif cfg.weight_mode == "sat_preset":
+                lca = 0.2 * (l0 + l_spectrum + l_multi)
+                presets = {1: lca,
+                           2: 0.5 * lca + 0.5 * l0,
+                           3: 0.4 * lca + 0.6 * l0,
+                           4: 0.3 * lca + 0.7 * l0}
+                loss = presets[cfg.loss_setting]
             else:
+                # `:156`: ((l0 + l1..l4) / 3) * (1-w) + l5/3 * w
+                main = (l0 + l_spectrum + l_multi) / 3.0
                 loss = main
+            if cfg.sd is not None and cfg.weight_mode == "final":
+                loss = loss * (1.0 - cfg.sd_weight) + (l_sd / 3.0) * cfg.sd_weight
             return loss, (l0, l_spectrum, l_sd)
 
         (loss, (l0, lspec, lsd)), grads = jax.value_and_grad(

@@ -69,8 +69,15 @@ def segmentation_tx(schedule, momentum: float = 0.9,
 
 @dataclasses.dataclass(frozen=True)
 class SegAfanConfig:
-    """`main_aug_final.py` flag surface (gammas ALREADY /255)."""
+    """`main_aug_final.py` flag surface (gammas ALREADY /255).
+
+    The multi-layer variants (`main_aug_muti_advt.py:180-232`) perturb
+    taps 1-4 simultaneously — extra taps beyond the first contribute one
+    adv point each; the first tap carries the spectrum.
+    """
     tap_se: int = 2                    # pertub_idx_se (backbone layer)
+    extra_taps: Sequence[int] = ()     # multi variants: extra SE taps
+    extra_gammas: Sequence[float] = ()
     sd: Optional[str] = "concat"       # 'aspp' | 'concat' | None
     steps: int = 1
     gamma_se: float = 0.02 / 255       # city final: .02/.04 (sh/city/...)
@@ -86,6 +93,16 @@ class SegAfanConfig:
     clip: bool = False
     use_focal: bool = False
     remat_tails: bool = True
+    # 'final' (.7/.1 rule) | 'sat_preset' (`main_aug_sat_advt.py:189-200`:
+    # 1 mean, 2: .5/.25, 3: .8/.1, 4: .9/.05) | 'multi_preset'
+    # (`main_aug_muti_advt.py`: 1: .8 l0 + .04 others, 2: .6/.08)
+    weight_mode: str = "final"
+    loss_setting: int = 1
+    # input-adv l0 for the *_advt variants (`main_aug_sat_advt.py`)
+    input_adv: bool = False
+    input_adv_steps: int = 3
+    input_adv_gamma: float = 0.3 / 255
+    input_adv_eps: float = 2.0 / 255
 
 
 def make_seg_base_step(model: DeepLab, tx):
@@ -162,7 +179,21 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
-        r_se, r_sd, r_clean, r_spec, r_noise = jax.random.split(rng, 5)
+        (r_se, r_sd, r_clean, r_spec, r_noise,
+         r_inp) = jax.random.split(rng, 6)
+
+        # input-adv image for the *_advt variants
+        images_l0 = images
+        if cfg.input_adv:
+            def inp_loss(x):
+                logits = model.apply(variables, x, True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": r_inp})[0]
+                return criterion(logits, labels)
+            adv_img = pgd(inp_loss, images, steps=cfg.input_adv_steps,
+                          gamma=cfg.input_adv_gamma, eps=cfg.input_adv_eps,
+                          randinit=True, clip=True, rng=r_inp)
+            images_l0 = jnp.clip(jax.lax.stop_gradient(adv_img), 0.0, 1.0)
 
         # (1) SE head
         feat_se, low_level = model.apply(
@@ -171,12 +202,15 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
         feat_se = jax.lax.stop_gradient(feat_se)
         low_level = jax.lax.stop_gradient(low_level)
 
-        def se_tail_logits(vs, f, r, mutable=True):
-            out = model.apply(vs, images.shape, f, low_level, cfg.tap_se,
-                              True, mutable=["batch_stats"] if mutable else [],
+        def tap_tail_logits(vs, f, tap, r):
+            out = model.apply(vs, images.shape, f, low_level, tap,
+                              True, mutable=["batch_stats"],
                               method=model.forward_tail,
                               rngs={"dropout": r})
-            return out[0] if mutable else out
+            return out[0]
+
+        def se_tail_logits(vs, f, r):
+            return tap_tail_logits(vs, f, cfg.tap_se, r)
 
         # (3a) PGD on SE
         def se_loss(f):
@@ -186,6 +220,22 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                      eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
                      rng=r_se)
         adv_se = jax.lax.stop_gradient(adv_se)
+
+        # extra multi-layer taps: one adv point each
+        extra_advs = []
+        for tap, g in zip(cfg.extra_taps, cfg.extra_gammas):
+            f_t, _ = model.apply(variables, images, tap, True,
+                                 mutable=["batch_stats"],
+                                 method=model.backbone_head,
+                                 rngs={"dropout": r_se})[0]
+            f_t = jax.lax.stop_gradient(f_t)
+
+            def t_loss(f, tap=tap):
+                return criterion(tap_tail_logits(variables, f, tap, r_se),
+                                 labels)
+            a = pgd(t_loss, f_t, steps=cfg.steps, gamma=g, eps=cfg.eps,
+                    randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
+            extra_advs.append((tap, jax.lax.stop_gradient(a)))
 
         # (2)+(3b) SD attack on the decoder feature
         adv_sd = None
@@ -228,7 +278,7 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
         # (6) combined loss
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
-            logits0, updates = model.apply(vs, images, True,
+            logits0, updates = model.apply(vs, images_l0, True,
                                            mutable=["batch_stats"],
                                            rngs={"dropout": r_clean})
             l0 = criterion(logits0, labels)
@@ -258,8 +308,29 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             else:
                 l_sd = 0.0
 
-            loss = (cfg.clean_weight * l0 + cfg.adv_weight * l_adv
-                    + (cfg.adv_weight * l_sd if cfg.sd is not None else 0.0))
+            l_multi = 0.0
+            for tap, a in extra_advs:
+                l_multi = l_multi + criterion(
+                    tap_tail_logits(vs, a, tap, r_spec), labels)
+
+            n_adv = (n_spec - 1) + len(extra_advs) + (1 if cfg.sd else 0)
+            if cfg.weight_mode == "sat_preset":
+                others = l_adv + l_multi + (l_sd if cfg.sd else 0.0)
+                presets = {1: (l0 + others) / (1 + n_adv),
+                           2: 0.5 * l0 + (0.5 / max(n_adv, 1)) * others,
+                           3: 0.8 * l0 + (0.2 / max(n_adv, 1)) * others,
+                           4: 0.9 * l0 + (0.1 / max(n_adv, 1)) * others}
+                loss = presets[cfg.loss_setting]
+            elif cfg.weight_mode == "multi_preset":
+                others = l_adv + l_multi + (l_sd if cfg.sd else 0.0)
+                presets = {1: 0.8 * l0 + (0.2 / max(n_adv, 1)) * others,
+                           2: 0.6 * l0 + (0.4 / max(n_adv, 1)) * others}
+                loss = presets[cfg.loss_setting]
+            else:
+                loss = (cfg.clean_weight * l0
+                        + cfg.adv_weight * (l_adv + l_multi)
+                        + (cfg.adv_weight * l_sd if cfg.sd is not None
+                           else 0.0))
             return loss, (l0, l_adv, l_sd, updates)
 
         (loss, (l0, ladv, lsd, updates)), grads = jax.value_and_grad(
