@@ -46,6 +46,9 @@ def get_parser():
                    default="voc")
     p.add_argument("--model", type=str, default="deeplabv3plus_resnet50")
     p.add_argument("--output_stride", type=int, default=16, choices=[8, 16])
+    p.add_argument("--separable_conv", action="store_true",
+                   help="AtrousSeparableConvolution in the decoder "
+                        "(convert_to_separable_conv parity)")
     p.add_argument("--total_itrs", type=int, default=30000)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--lr_policy", choices=["poly", "step"], default="poly")
@@ -104,7 +107,8 @@ def main(argv=None):
             seed=args.random_seed)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = build_model(args.model, num_classes, args.output_stride, dtype)
+    model = build_model(args.model, num_classes, args.output_stride, dtype,
+                        separable_conv=args.separable_conv)
 
     total = args.limit_itrs or args.total_itrs
     schedule = poly_schedule(args.lr, args.total_itrs, 0.9)

@@ -28,20 +28,51 @@ def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
                             method="bilinear")
 
 
+class AtrousSeparableConv(nn.Module):
+    """Depthwise (with dilation) + pointwise conv — the reference's
+    AtrousSeparableConvolution (`_deeplab.py:115-139`), selected by
+    ``convert_to_separable_conv`` when ``--separable_conv`` is set."""
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel // 2) * self.dilation
+        ch_in = x.shape[-1]
+        x = nn.Conv(ch_in, (self.kernel, self.kernel), padding=pad,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=ch_in, use_bias=self.use_bias,
+                    dtype=self.dtype, kernel_init=kaiming_in,
+                    name="depthwise")(x)
+        return nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, kernel_init=kaiming_in,
+                       name="pointwise")(x)
+
+
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
     dilation: int = 1
     bn_momentum: float = 0.99
+    separable: bool = False   # --separable_conv: k>1 convs go depthwise
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel // 2) * self.dilation
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding=pad,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=kaiming_in, name="conv")(x)
+        if self.separable and self.kernel > 1:
+            x = AtrousSeparableConv(self.features, self.kernel,
+                                    self.dilation, dtype=self.dtype,
+                                    name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding=pad,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=kaiming_in, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
@@ -53,6 +84,7 @@ class ASPP(nn.Module):
     atrous_rates: Sequence[int] = (12, 24, 36)
     out_channels: int = 256
     bn_momentum: float = 0.99
+    separable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,11 +94,11 @@ class ASPP(nn.Module):
             ConvBNReLU(self.out_channels, 1, bn_momentum=self.bn_momentum,
                        dtype=self.dtype, name="b0")(x, train),
             ConvBNReLU(self.out_channels, 3, r1, self.bn_momentum,
-                       self.dtype, name="b1")(x, train),
+                       self.separable, self.dtype, name="b1")(x, train),
             ConvBNReLU(self.out_channels, 3, r2, self.bn_momentum,
-                       self.dtype, name="b2")(x, train),
+                       self.separable, self.dtype, name="b2")(x, train),
             ConvBNReLU(self.out_channels, 3, r3, self.bn_momentum,
-                       self.dtype, name="b3")(x, train),
+                       self.separable, self.dtype, name="b3")(x, train),
         ]
         # image pooling: global mean → 1x1 conv-bn-relu → broadcast back
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
@@ -88,12 +120,14 @@ class Classifier3x3(nn.Module):
     num_classes: int
     hidden: int = 256
     bn_momentum: float = 0.99
+    separable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNReLU(self.hidden, 3, bn_momentum=self.bn_momentum,
-                       dtype=self.dtype, name="conv")(x, train)
+                       separable=self.separable, dtype=self.dtype,
+                       name="conv")(x, train)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        kernel_init=kaiming_in, name="logits")(x)
 
@@ -103,15 +137,18 @@ class DeepLabHeadV3Plus(nn.Module):
     num_classes: int
     aspp_dilate: Sequence[int] = (12, 24, 36)
     bn_momentum: float = 0.99
+    separable: bool = False   # convert_to_separable_conv parity
     dtype: Any = jnp.float32
 
     def setup(self):
         self.project = ConvBNReLU(48, 1, bn_momentum=self.bn_momentum,
                                   dtype=self.dtype, name="project")
         self.aspp = ASPP(self.aspp_dilate, bn_momentum=self.bn_momentum,
-                         dtype=self.dtype, name="aspp")
+                         separable=self.separable, dtype=self.dtype,
+                         name="aspp")
         self.classifier = Classifier3x3(self.num_classes,
                                         bn_momentum=self.bn_momentum,
+                                        separable=self.separable,
                                         dtype=self.dtype, name="classifier")
 
     def _concat(self, low_level, aspp_out, train):
@@ -148,13 +185,16 @@ class DeepLabHead(nn.Module):
     num_classes: int
     aspp_dilate: Sequence[int] = (12, 24, 36)
     bn_momentum: float = 0.99
+    separable: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.aspp = ASPP(self.aspp_dilate, bn_momentum=self.bn_momentum,
-                         dtype=self.dtype, name="aspp")
+                         separable=self.separable, dtype=self.dtype,
+                         name="aspp")
         self.classifier = Classifier3x3(self.num_classes,
                                         bn_momentum=self.bn_momentum,
+                                        separable=self.separable,
                                         dtype=self.dtype, name="classifier")
 
     def __call__(self, out, low_level=None, train: bool = False):

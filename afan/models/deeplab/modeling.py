@@ -39,6 +39,7 @@ class DeepLab(nn.Module):
     num_classes: int = 21
     output_stride: int = 16
     plus: bool = True                     # DeepLabV3+ vs V3
+    separable_conv: bool = False          # --separable_conv parity
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -58,6 +59,7 @@ class DeepLab(nn.Module):
         self.classifier = head_cls(num_classes=self.num_classes,
                                    aspp_dilate=rates,
                                    bn_momentum=BN_FLAX_MOMENTUM,
+                                   separable=self.separable_conv,
                                    dtype=self.dtype)
 
     # ---------- SE tap (backbone layers) ----------
@@ -133,8 +135,9 @@ MODEL_MAP = {
 
 
 def build_model(name: str, num_classes: int, output_stride: int = 16,
-                dtype=jnp.float32) -> DeepLab:
+                dtype=jnp.float32, separable_conv: bool = False) -> DeepLab:
     if name not in MODEL_MAP:
         raise ValueError(f"unknown model {name!r}; have {list(MODEL_MAP)}")
     return DeepLab(num_classes=num_classes, output_stride=output_stride,
-                   dtype=dtype, **MODEL_MAP[name])
+                   separable_conv=separable_conv, dtype=dtype,
+                   **MODEL_MAP[name])
