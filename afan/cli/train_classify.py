@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.cifar import cifar10_dataloaders, cifar100_dataloaders
+from ..data.cifar import (augment_batch_device, cifar10_dataloaders,
+                          cifar100_dataloaders)
 from ..models.resnet_s import ResNetS, resnet56, LEARNABLE_TAPS
 from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
                              shard_batch)
@@ -77,6 +78,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit_batches", type=int, default=0,
                    help="debug: cap batches per epoch")
     p.add_argument("--synthetic_ok", action="store_true", default=True)
+    p.add_argument("--host_aug", action="store_true",
+                   help="augment on the host (numpy) instead of on-device; "
+                        "device augmentation is distribution-identical and "
+                        "default (a slow host otherwise gates the TPU)")
     return p
 
 
@@ -124,6 +129,11 @@ def main(argv=None):
                else cifar100_dataloaders)
     train_loader, val_loader, test_loader = loaders(
         args.batch_size, args.batch_size, data_dir=args.data, seed=seed)
+    device_aug = not args.host_aug and args.dataset == "cifar10"
+    if device_aug:
+        # raw uint8 from the host; crop+flip runs jitted on-device
+        train_loader.raw = True
+        aug_fn = jax.jit(augment_batch_device)
 
     steps_per_epoch = len(train_loader)
     if args.limit_batches:
@@ -180,8 +190,11 @@ def main(argv=None):
         for i, (x, y) in enumerate(train_loader):
             if args.limit_batches and i >= args.limit_batches:
                 break
-            xb, yb = shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
+            if device_aug:
+                x = aug_fn(jax.random.fold_in(step_rng, 999),
+                           jnp.asarray(x))
+            xb, yb = shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
             if args.mode == "base":
                 state, metrics = train_step(state, xb, yb)
             else:

@@ -90,6 +90,10 @@ def get_parser():
     p.add_argument("--steps", type=int, default=1)
     p.add_argument("--loss_settings", type=int, default=1,
                    help="SAT weight preset 1-4 (train_aug_sat_advt.py)")
+    p.add_argument("--share_proposals", action="store_true",
+                   help="fast path: sample anchors/proposals once per step "
+                        "and reuse across all tail forwards (-27%% step "
+                        "time; the reference resamples per forward)")
     # TPU-era additions
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
@@ -142,7 +146,7 @@ def afan_config_for(args) -> DetAfanConfig:
         noise_sd=args.noise_sd, sd_weight=args.sd_adv_loss_weight,
         steps=args.steps, randinit=args.randinit, clip=args.clip,
         weight_mode=weight_mode, loss_setting=args.loss_settings,
-        input_adv=input_adv)
+        input_adv=input_adv, share_proposals=args.share_proposals)
 
 
 def main(argv=None):

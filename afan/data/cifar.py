@@ -131,14 +131,21 @@ def augment_batch(x: np.ndarray, rng: np.random.RandomState,
 
 class CifarLoader:
     """Minimal epoch iterator matching the reference DataLoader behavior
-    (shuffle + drop_last for train; sequential for test)."""
+    (shuffle + drop_last for train; sequential for test).
+
+    ``raw=True`` yields un-augmented uint8 batches for DEVICE-SIDE
+    augmentation (:func:`augment_batch_device`) — on a host with few CPU
+    cores the numpy augmentation caps end-to-end throughput far below the
+    TPU's step rate."""
 
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
-                 train: bool, seed: int = 0, rotate15: bool = False):
+                 train: bool, seed: int = 0, rotate15: bool = False,
+                 raw: bool = False):
         self.x, self.y = x, y
         self.batch_size = batch_size
         self.train = train
         self.rotate15 = rotate15
+        self.raw = raw
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -152,6 +159,9 @@ class CifarLoader:
         for b in range(nb):
             sel = order[b * self.batch_size:(b + 1) * self.batch_size]
             xb = self.x[sel]
+            if self.raw:
+                yield xb, self.y[sel]
+                continue
             if self.train:
                 xb = augment_batch(xb, self.rng, self.rotate15)
             yield xb.astype(np.float32) / 255.0, self.y[sel]
@@ -189,3 +199,24 @@ def cifar100_dataloaders(train_batch_size: int = 64, test_batch_size: int = 100,
     val = CifarLoader(tx[45000:], ty[45000:], test_batch_size, False)
     test = CifarLoader(ex, ey, test_batch_size, False)
     return train, val, test
+
+
+def augment_batch_device(rng, x_uint8):
+    """Jittable RandomCrop(32, pad 4) + RandomHorizontalFlip on a uint8
+    NHWC batch — the device-side twin of :func:`augment_batch`
+    (distribution-identical; runs on the TPU so a slow host never gates
+    training). Returns float32 in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+    x = x_uint8.astype(jnp.float32) / 255.0
+    n = x.shape[0]
+    k1, k2 = jax.random.split(rng)
+    padded = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    offsets = jax.random.randint(k1, (n, 2), 0, 9)
+
+    def crop(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (32, 32, 3))
+
+    out = jax.vmap(crop)(padded, offsets)
+    flip = jax.random.bernoulli(k2, 0.5, (n,))
+    return jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)

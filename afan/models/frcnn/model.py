@@ -157,6 +157,50 @@ class FasterRCNN(nn.Module):
         p_ce, p_l1 = self._roi_losses_from_targets(features, roi_tgts, train)
         return DetectionLosses(a_ce, a_l1, p_ce, p_l1)
 
+    def compute_targets(self, images, gt_boxes, gt_classes, gt_valid, rng,
+                        train: bool = True):
+        """One clean forward's worth of RPN targets + proposals + ROI
+        targets, for reuse across multiple tail forwards (the
+        ``share_proposals`` fast path — the reference resamples in every
+        forward, which is random-noise-equivalent but costs a proposal
+        NMS + labeling per forward)."""
+        features = self.features_clean(images, train)
+        bsz, ih, iw = images.shape[0], images.shape[1], images.shape[2]
+        fh, fw = features.shape[1], features.shape[2]
+        anchors = self._anchors((ih, iw), (fh, fw))
+        obj, reg = self.rpn(features)
+        rngs = jax.random.split(rng, 2 * bsz)
+        rpn_tgts = jax.vmap(
+            rpn_targets, in_axes=(0, None, 0, 0, None, None, None, None)
+        )(rngs[:bsz], anchors, gt_boxes, gt_valid, iw, ih,
+          self.cfg.rpn_samples, self.cfg.rpn_fg_cap)
+        proposals, _ = jax.vmap(
+            generate_proposals, in_axes=(None, 0, 0, None, None, None, None)
+        )(anchors, jax.lax.stop_gradient(obj), jax.lax.stop_gradient(reg),
+          iw, ih, self.cfg.train_pre_nms_top_n, self.cfg.train_post_nms_top_n)
+        roi_tgts = jax.vmap(
+            roi_targets, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(rngs[bsz:], proposals, gt_boxes, gt_classes, gt_valid,
+          self.cfg.roi_samples, self.cfg.roi_fg_cap)
+        return rpn_tgts, roi_tgts
+
+    def losses_from_targets(self, images, rpn_tgts, roi_tgts, rng,
+                            feature_tap: Optional[int] = None,
+                            adv_feature: Optional[jnp.ndarray] = None,
+                            train: bool = True) -> DetectionLosses:
+        """Full 4-loss forward reusing precomputed targets: rpn losses on
+        the fixed sampled anchors, roi losses pooling the fixed sampled
+        boxes from THIS forward's features. No NMS/labeling inside."""
+        if adv_feature is not None:
+            features = self.backbone_tail(adv_feature, feature_tap, train)
+        else:
+            features = self.features_clean(images, train)
+        obj, reg = self.rpn(features)
+        a_ce, a_l1 = jax.vmap(rpn_loss, in_axes=(0, 0, 0, None))(
+            obj, reg, rpn_tgts, self.cfg.anchor_smooth_l1_beta)
+        p_ce, p_l1 = self._roi_losses_from_targets(features, roi_tgts, train)
+        return DetectionLosses(a_ce, a_l1, p_ce, p_l1)
+
     def _roi_losses_from_targets(self, features, roi_tgts: RoiTargets,
                                  train: bool):
         bsz, s = roi_tgts.boxes.shape[0], roi_tgts.boxes.shape[1]

@@ -155,6 +155,12 @@ class DetAfanConfig:
     #   'single'     — 0.5*l0 + 0.5*l_adv (`train_aug_single_advt.py:95`)
     weight_mode: str = "final"
     loss_setting: int = 1
+    # Fast path: compute anchor/proposal sampling ONCE per step and reuse
+    # the targets across the ascent + every tail forward (the reference
+    # resamples per forward — random-noise-equivalent in expectation but
+    # pays a proposal NMS + IoU labeling each time). Cuts ~6 NMS calls
+    # per step. Default OFF for exact reference-trajectory parity.
+    share_proposals: bool = False
     # input-space adversarial term replacing the clean forward (the *_advt
     # variants, `train_aug_sat_advt.py:78`): 5-step adv_input with
     # gamma 0.3/255, eps 2/255, randinit+clip
@@ -189,8 +195,20 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
         variables = state.variables()
         r_se, r_sd, r_clean, r_spec, r_noise, r_inp = jax.random.split(rng, 6)
 
+        shared_tgts = None
+        if cfg.share_proposals:
+            shared_tgts = model.apply(variables, images, gt_boxes,
+                                      gt_classes, gt_valid, r_clean,
+                                      method=model.compute_targets)
+            shared_tgts = jax.lax.stop_gradient(shared_tgts)
+
         def full_losses(params_vars, tap, feat, r, x=None):
-            return model.apply(params_vars, x if x is not None else images,
+            xin = x if x is not None else images
+            if shared_tgts is not None:
+                return model.apply(params_vars, xin, shared_tgts[0],
+                                   shared_tgts[1], r, tap, feat,
+                                   method=model.losses_from_targets)
+            return model.apply(params_vars, xin,
                                gt_boxes, gt_classes,
                                gt_valid, r, tap, feat, method=model.losses)
 
