@@ -65,3 +65,14 @@ class TestMesh:
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+    def test_host_local_batch_to_global(self):
+        # single-process: the multi-host assembly path must reduce to a
+        # correctly sharded global batch
+        from afan.parallel.mesh import host_local_batch_to_global
+        mesh = make_mesh()
+        x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+        gx = host_local_batch_to_global(mesh, [x])
+        assert gx.shape == (16, 4)
+        np.testing.assert_array_equal(np.asarray(gx), x)
+        assert gx.addressable_shards[0].data.shape[0] == 2  # 16/8 devices
