@@ -11,7 +11,6 @@ import argparse
 import asyncio
 import json
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils.logging import Log

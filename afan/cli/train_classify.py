@@ -22,12 +22,11 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..data.cifar import (augment_batch_device, cifar10_dataloaders,
                           cifar100_dataloaders)
-from ..models.resnet_s import ResNetS, resnet56, LEARNABLE_TAPS
+from ..models.resnet_s import ResNetS, LEARNABLE_TAPS
 from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
                              shard_batch)
 from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint

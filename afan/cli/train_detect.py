@@ -24,7 +24,6 @@ from collections import deque
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.registry import DETECTION_DATASETS, detection_loaders
 from ..eval.det_map import DetectionEvaluator

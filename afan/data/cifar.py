@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import tarfile
 from typing import Iterator, Optional, Tuple
 
 import numpy as np

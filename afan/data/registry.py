@@ -4,11 +4,9 @@ voc2007catdog, coco2017 and its person/car/animal subsets.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
-from .coco import SUBSETS, coco_detection_loaders
+from .coco import coco_detection_loaders
 from .voc_det import DetectionLoader, find_voc_root, load_voc_samples, \
     synthetic_det_samples, voc_detection_loaders
 

@@ -14,7 +14,7 @@ pycocotools is unavailable here, so the protocol is implemented directly):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -20,14 +20,13 @@ eval_rob") — the working equivalent here is :func:`robust_accuracy` /
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.attack import pgd
-from ..core.spectrum import spectrum_weights
 
 
 def make_robust_eval_step(model, num_classes: int, steps: int = 3,

@@ -13,7 +13,7 @@ NHWC layout; bilinear resizes use half-pixel centers
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

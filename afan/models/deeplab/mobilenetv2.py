@@ -11,7 +11,7 @@ stride-stage boundaries so SE feature attacks work unchanged.
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

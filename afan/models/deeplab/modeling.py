@@ -18,13 +18,13 @@ an optimizer label (:func:`segmentation_param_labels`).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..resnet import ResNetTorso, from_name
+from ..resnet import from_name
 from .heads import DeepLabHead, DeepLabHeadV3Plus, resize_bilinear
 from .mobilenetv2 import MobileNetV2Backbone
 

@@ -7,8 +7,6 @@ format, float32, absolute pixel coordinates.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 

@@ -29,14 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..resnet import (NUM_FEATURES_OUT, NUM_HIDDEN_OUT, ResNetTorso,
-                      from_name)
+from ..resnet import NUM_FEATURES_OUT, ResNetTorso, from_name
 from . import boxes as B
 from .anchors import ANCHOR_RATIOS, ANCHOR_SIZES, generate_anchors
 from .roi_head import (RoiPredictors, RoiTargets, generate_detections,
                        pool_and_hidden, roi_loss, roi_targets)
-from .rpn import (RPNHeads, RPNTargets, generate_proposals, rpn_loss,
-                  rpn_targets)
+from .rpn import RPNHeads, generate_proposals, rpn_loss, rpn_targets
 
 
 class DetectionLosses(NamedTuple):

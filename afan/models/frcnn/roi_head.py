@@ -16,7 +16,7 @@ channel axis per sample.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,8 +19,7 @@ Static-shape redesign (SURVEY.md §7.3):
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ optimizer (zero-update label), mirroring ``requires_grad=False``.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ flag dispatch, no dynamic control flow inside jit.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, List, Optional
 
 import flax.linen as nn
 

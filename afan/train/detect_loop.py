@@ -22,7 +22,7 @@ TPU structure notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import optax
 from ..core.afn import mix_feature
 from ..core.attack import pgd, uniform_init
 from ..core.spectrum import sample_points
-from ..models.frcnn.model import DetectionLosses, FasterRCNN
+from ..models.frcnn.model import FasterRCNN
 from .loop import TrainState, _apply_updates
 
 

@@ -25,14 +25,14 @@ divergence (it removes 6+ sequential variable writebacks per step).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..core import attack, perturbation_norms
+from ..core import perturbation_norms
 from ..core.attack import pgd
 
 

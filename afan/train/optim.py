@@ -15,7 +15,7 @@ trace)`` reproduces this exactly (not decoupled AdamW-style decay).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import optax

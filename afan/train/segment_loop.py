@@ -15,7 +15,7 @@ canonical batch_stats update comes from the clean forward.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
