@@ -26,6 +26,7 @@ import optax
 
 from ..data.cifar import (augment_batch_device, cifar10_dataloaders,
                           cifar100_dataloaders)
+from ..data.prefetch import Prefetcher
 from ..models.resnet_s import ResNetS, LEARNABLE_TAPS
 from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
                              shard_batch)
@@ -186,7 +187,7 @@ def main(argv=None):
         losses, top1 = AverageMeter(), AverageMeter()
         norm_l2, norm_linf = AverageMeter(), AverageMeter()
         t0, seen = time.time(), 0
-        for i, (x, y) in enumerate(train_loader):
+        for i, (x, y) in enumerate(Prefetcher(train_loader)):
             if args.limit_batches and i >= args.limit_batches:
                 break
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)

@@ -51,3 +51,29 @@ class TestLoader:
     def test_dataloaders_split(self):
         tr, va, te = cifar10_dataloaders(32, 50, data_dir="/nonexistent")
         assert len(tr.x) == 45000 and len(va.x) == 5000 and len(te.x) == 10000
+
+
+class TestPrefetcher:
+    def test_yields_all_items_in_order(self):
+        from afan.data.prefetch import Prefetcher
+        items = list(Prefetcher(iter(range(20)), depth=3))
+        assert items == list(range(20))
+
+    def test_propagates_errors(self):
+        from afan.data.prefetch import Prefetcher
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        import pytest
+        with pytest.raises(ValueError):
+            list(Prefetcher(gen()))
+
+    def test_wraps_loader(self):
+        from afan.data.prefetch import Prefetcher
+        from afan.data.cifar import CifarLoader, synthetic_arrays
+        x, y, *_ = synthetic_arrays(num_train=64, num_test=1)
+        ld = CifarLoader(x, y, 32, train=True)
+        batches = list(Prefetcher(ld))
+        assert len(batches) == 2 and len(Prefetcher(ld)) == 2
