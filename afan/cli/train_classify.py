@@ -32,7 +32,8 @@ from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
                              shard_batch)
 from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
 from ..train.loop import (AlfaConfig, LearnableConfig, TrainState,
-                          make_alfa_step, make_base_step, make_eval_step,
+                          make_alfa_step, make_base_step,
+                          make_device_data_alfa_step, make_eval_step,
                           make_learnable_step)
 from ..train.optim import multistep_warmup_schedule, sgd
 from ..utils.logging import Log
@@ -82,6 +83,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="augment on the host (numpy) instead of on-device; "
                         "device augmentation is distribution-identical and "
                         "default (a slow host otherwise gates the TPU)")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the whole train split resident in HBM and "
+                        "fuse gather+augment+step into one program "
+                        "(alfa mode, single device) — removes the host "
+                        "from the training loop entirely")
     return p
 
 
@@ -152,13 +158,19 @@ def main(argv=None):
     state = replicate_state(mesh, state)
     Log.i(f"data-parallel over {mesh.size} device(s): {mesh.devices.ravel()}")
 
+    device_data = (args.device_data and args.mode == "alfa"
+                   and mesh.size == 1)
     if args.mode == "base":
         train_step = make_base_step(model, tx)
     elif args.mode == "alfa":
         cfg = AlfaConfig(tap=args.perturb_idx, steps=args.steps,
                          gamma=args.gamma / 255, eps=args.eps / 255,
                          randinit=args.randinit, clip=args.clip)
-        train_step = make_alfa_step(model, tx, cfg)
+        if device_data:
+            train_step = make_device_data_alfa_step(model, tx, cfg,
+                                                    args.batch_size)
+        else:
+            train_step = make_alfa_step(model, tx, cfg)
     else:
         cfg = LearnableConfig(taps=LEARNABLE_TAPS, steps=args.steps,
                               gamma=args.gamma / 255, eps=args.eps / 255,
@@ -183,10 +195,54 @@ def main(argv=None):
     all_result = {"train": [], "ta": [], "test_ta": []}
     all_norm = {"l2": {}, "linf": {}}
 
+    if device_data:
+        data_x = jax.device_put(jnp.asarray(train_loader.x))
+        data_y = jax.device_put(jnp.asarray(train_loader.y))
+        Log.i(f"device-resident dataset: {data_x.nbytes / 1e6:.0f} MB in HBM")
+
     for epoch in range(start_epoch, args.epochs):
         losses, top1 = AverageMeter(), AverageMeter()
         norm_l2, norm_linf = AverageMeter(), AverageMeter()
         t0, seen = time.time(), 0
+        if device_data:
+            n = len(train_loader.x)
+            perm = jax.random.permutation(
+                jax.random.fold_in(rng, 7000 + epoch), n)
+            for i in range(steps_per_epoch):
+                step_rng = jax.random.fold_in(
+                    rng, epoch * steps_per_epoch + i)
+                state, metrics = train_step(state, data_x, data_y, perm, i,
+                                            step_rng)
+                seen += args.batch_size
+                if i % args.print_freq == 0:
+                    losses.update(float(metrics["loss"]), args.batch_size)
+                    top1.update(float(metrics["accuracy"]), args.batch_size)
+                    norm_l2.update(float(jnp.mean(metrics["pert_l2"])))
+                    norm_linf.update(float(jnp.mean(metrics["pert_linf"])))
+                    Log.i(f"Epoch: [{epoch}][{i}/{steps_per_epoch}] "
+                          f"Loss {losses.val:.4f} ({losses.avg:.4f}) "
+                          f"Acc {top1.val:.3f} ({top1.avg:.3f})")
+            _ = float(metrics["loss"])  # sync for honest epoch timing
+            dt = time.time() - t0
+            Log.i(f"epoch {epoch}: {seen / max(dt, 1e-9):.1f} imgs/sec")
+            all_norm["l2"][epoch + 1] = norm_l2.avg
+            all_norm["linf"][epoch + 1] = norm_linf.avg
+            tacc = validate(eval_step, state, val_loader, mesh)
+            test_tacc = validate(eval_step, state, test_loader, mesh)
+            Log.i(f"epoch {epoch}: val {tacc:.2f} test {test_tacc:.2f}")
+            all_result["train"].append(top1.avg)
+            all_result["ta"].append(tacc)
+            all_result["test_ta"].append(test_tacc)
+            is_best = tacc > best_prec1
+            best_prec1 = max(tacc, best_prec1)
+            payload = {"epoch": epoch + 1, "params": state.params,
+                       "batch_stats": state.batch_stats,
+                       "step": int(state.step), "best_prec1": best_prec1}
+            save_checkpoint(ckpt_path, payload)
+            if is_best:
+                save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),
+                                payload)
+            continue
         for i, (x, y) in enumerate(Prefetcher(train_loader)):
             if args.limit_batches and i >= args.limit_batches:
                 break

@@ -101,13 +101,17 @@ def make_base_step(model, tx: optax.GradientTransformation):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_alfa_step(model, tx: optax.GradientTransformation, cfg: AlfaConfig):
+def make_alfa_step(model, tx: optax.GradientTransformation, cfg: AlfaConfig,
+                   jit: bool = True):
     """ALFA train step (`main_perturb.py:153-201`):
 
     1. clean head forward to the tap, detached (`:173`);
     2. k-step feature PGD through the tail (`attack_algo.py:38-58`);
     3. loss = (CE(tail(adv)) + CE(full(clean))) / 2 (`:194-197`);
     4. SGD update; perturbation L2/L∞ telemetry (`:187-192`).
+
+    ``jit=False`` returns the raw step function for embedding in a larger
+    jitted program (see :func:`make_device_data_alfa_step`).
     """
     num_stages = model.num_stages
 
@@ -155,7 +159,31 @@ def make_alfa_step(model, tx: optax.GradientTransformation, cfg: AlfaConfig):
                              batch_stats=updates["batch_stats"],
                              step=state.step + 1), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+
+
+def make_device_data_alfa_step(model, tx: optax.GradientTransformation,
+                               cfg: AlfaConfig, batch_size: int):
+    """Fully device-resident ALFA training: the whole CIFAR train split
+    lives in HBM (45k images = 553 MB uint8) and each step gathers its
+    batch from a per-epoch permutation, augments (crop+flip), runs the
+    adversarial step — ONE jitted program with zero host involvement.
+    The reference streams batches through a torch DataLoader every step;
+    on a weak host that pipeline, not the accelerator, bounds throughput.
+
+    Returns ``step(state, data_x_uint8, data_y, perm, i, rng)``; build
+    ``perm`` per epoch with ``jax.random.permutation``.
+    """
+    from ..data.cifar import augment_batch_device
+    raw_step = make_alfa_step(model, tx, cfg, jit=False)
+
+    def fused(state: TrainState, data_x, data_y, perm, i, rng):
+        r_aug, r_step = jax.random.split(rng)
+        idx = jax.lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+        x = augment_batch_device(r_aug, data_x[idx])
+        return raw_step(state, x, data_y[idx], r_step)
+
+    return jax.jit(fused, donate_argnums=(0,))
 
 
 @dataclasses.dataclass(frozen=True)
