@@ -33,8 +33,8 @@ from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
 from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
 from ..train.loop import (AlfaConfig, LearnableConfig, TrainState,
                           make_alfa_step, make_base_step,
-                          make_device_data_alfa_step, make_eval_step,
-                          make_learnable_step)
+                          make_device_data_alfa_step, make_epoch_scan_alfa,
+                          make_eval_step, make_learnable_step)
 from ..train.optim import multistep_warmup_schedule, sgd
 from ..utils.logging import Log
 from ..utils.meters import AverageMeter
@@ -88,6 +88,10 @@ def get_parser() -> argparse.ArgumentParser:
                         "fuse gather+augment+step into one program "
                         "(alfa mode, single device) — removes the host "
                         "from the training loop entirely")
+    p.add_argument("--epoch_scan", action="store_true",
+                   help="lax.scan the WHOLE epoch into one dispatch "
+                        "(implies --device_data; alfa mode) — eliminates "
+                        "per-step dispatch latency")
     return p
 
 
@@ -158,15 +162,17 @@ def main(argv=None):
     state = replicate_state(mesh, state)
     Log.i(f"data-parallel over {mesh.size} device(s): {mesh.devices.ravel()}")
 
-    device_data = (args.device_data and args.mode == "alfa"
-                   and mesh.size == 1)
+    device_data = ((args.device_data or args.epoch_scan)
+                   and args.mode == "alfa" and mesh.size == 1)
     if args.mode == "base":
         train_step = make_base_step(model, tx)
     elif args.mode == "alfa":
         cfg = AlfaConfig(tap=args.perturb_idx, steps=args.steps,
                          gamma=args.gamma / 255, eps=args.eps / 255,
                          randinit=args.randinit, clip=args.clip)
-        if device_data:
+        if device_data and args.epoch_scan:
+            train_step = None  # whole-epoch program built below
+        elif device_data:
             train_step = make_device_data_alfa_step(model, tx, cfg,
                                                     args.batch_size)
         else:
@@ -199,11 +205,46 @@ def main(argv=None):
         data_x = jax.device_put(jnp.asarray(train_loader.x))
         data_y = jax.device_put(jnp.asarray(train_loader.y))
         Log.i(f"device-resident dataset: {data_x.nbytes / 1e6:.0f} MB in HBM")
+        if args.epoch_scan:
+            epoch_fn = make_epoch_scan_alfa(model, tx, cfg, args.batch_size,
+                                            steps_per_epoch)
 
     for epoch in range(start_epoch, args.epochs):
         losses, top1 = AverageMeter(), AverageMeter()
         norm_l2, norm_linf = AverageMeter(), AverageMeter()
         t0, seen = time.time(), 0
+        if device_data and args.epoch_scan:
+            n = len(train_loader.x)
+            perm = jax.random.permutation(
+                jax.random.fold_in(rng, 7000 + epoch), n)
+            state, em = epoch_fn(state, data_x, data_y, perm,
+                                 jax.random.fold_in(rng, 9000 + epoch))
+            loss_tail = float(em["loss"][-1])
+            seen = steps_per_epoch * args.batch_size
+            dt = time.time() - t0
+            Log.i(f"Epoch: [{epoch}] whole-epoch scan, last-step loss "
+                  f"{loss_tail:.4f}")
+            Log.i(f"epoch {epoch}: {seen / max(dt, 1e-9):.1f} imgs/sec")
+            losses.update(float(jnp.mean(em["loss"])), seen)
+            top1.update(float(jnp.mean(em["accuracy"])), seen)
+            all_norm["l2"][epoch + 1] = float(jnp.mean(em["pert_l2"]))
+            all_norm["linf"][epoch + 1] = float(jnp.mean(em["pert_linf"]))
+            tacc = validate(eval_step, state, val_loader, mesh)
+            test_tacc = validate(eval_step, state, test_loader, mesh)
+            Log.i(f"epoch {epoch}: val {tacc:.2f} test {test_tacc:.2f}")
+            all_result["train"].append(top1.avg)
+            all_result["ta"].append(tacc)
+            all_result["test_ta"].append(test_tacc)
+            is_best = tacc > best_prec1
+            best_prec1 = max(tacc, best_prec1)
+            payload = {"epoch": epoch + 1, "params": state.params,
+                       "batch_stats": state.batch_stats,
+                       "step": int(state.step), "best_prec1": best_prec1}
+            save_checkpoint(ckpt_path, payload)
+            if is_best:
+                save_checkpoint(os.path.join(args.save_dir,
+                                             "best_model.pt"), payload)
+            continue
         if device_data:
             n = len(train_loader.x)
             perm = jax.random.permutation(

@@ -186,6 +186,39 @@ def make_device_data_alfa_step(model, tx: optax.GradientTransformation,
     return jax.jit(fused, donate_argnums=(0,))
 
 
+def make_epoch_scan_alfa(model, tx: optax.GradientTransformation,
+                         cfg: AlfaConfig, batch_size: int,
+                         steps_per_epoch: int):
+    """A WHOLE EPOCH as one XLA program: ``lax.scan`` over
+    :func:`make_device_data_alfa_step`'s fused gather+augment+ALFA body.
+    One dispatch per epoch — per-step host/tunnel latency (the final
+    throughput bound on this setup) disappears entirely.
+
+    Returns ``epoch_fn(state, data_x_uint8, data_y, perm, rng) ->
+    (state, stacked_metrics)`` where each metric has a leading
+    (steps_per_epoch,) axis.
+    """
+    from ..data.cifar import augment_batch_device
+    raw_step = make_alfa_step(model, tx, cfg, jit=False)
+
+    def epoch_fn(state: TrainState, data_x, data_y, perm, rng):
+        def body(carry, i):
+            st = carry
+            r = jax.random.fold_in(rng, i)
+            r_aug, r_step = jax.random.split(r)
+            idx = jax.lax.dynamic_slice(perm, (i * batch_size,),
+                                        (batch_size,))
+            x = augment_batch_device(r_aug, data_x[idx])
+            st, metrics = raw_step(st, x, data_y[idx], r_step)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(
+            body, state, jnp.arange(steps_per_epoch, dtype=jnp.int32))
+        return state, metrics
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
 @dataclasses.dataclass(frozen=True)
 class LearnableConfig:
     """`main_learnable.py` defaults: 3 PGD steps, gamma 1/255, eps 2/255,

