@@ -214,11 +214,11 @@ class DetectionLoader:
         self.tall_canvas = (rup(image_max_side), rup(image_min_side))
 
     def __len__(self):
+        tall = sum(1 for s in self.samples if s.width / s.height < 1)
+        fat = len(self.samples) - tall
         if self.train:
-            tall = sum(1 for s in self.samples if s.width / s.height < 1)
-            fat = len(self.samples) - tall
             return tall // self.batch_size + fat // self.batch_size
-        return -(-len(self.samples) // self.batch_size)
+        return -(-tall // self.batch_size) + -(-fat // self.batch_size)
 
     def _make_batch(self, idxs: List[int]) -> DetBatch:
         first = self.samples[idxs[0]]
@@ -275,12 +275,17 @@ class DetectionLoader:
             for k in order:
                 yield self._make_batch(list(batches[k]))
         else:
-            # eval: sequential, group by orientation within each batch by
-            # sorting (batch size 1 in the reference evaluator)
-            for i in range(0, len(self.samples), self.batch_size):
-                yield self._make_batch(
-                    list(range(i, min(i + self.batch_size,
-                                      len(self.samples)))))
+            # eval: batches must be orientation-homogeneous — _make_batch
+            # picks the canvas from the FIRST sample, so a tall image in a
+            # fat batch would be silently cropped. Partition by orientation
+            # (order preserved within each group; evaluation keys results
+            # by image_id, so cross-group order is irrelevant).
+            tall = np.nonzero(ratios < 1)[0]
+            fat = np.nonzero(ratios >= 1)[0]
+            for group in (tall, fat):
+                for i in range(0, len(group), self.batch_size):
+                    yield self._make_batch(
+                        list(group[i:i + self.batch_size]))
 
 
 def voc_detection_loaders(data_dir: str, batch_size: int,

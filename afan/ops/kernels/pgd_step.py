@@ -11,6 +11,15 @@ bandwidth for the update, which matters at the large feature-map taps
 
 The wrapper falls back to pure jnp off-TPU (CPU tests run the kernel in
 interpreter mode explicitly).
+
+STATUS — retained exemplar, not wired into the production attack path.
+Measured on 1x v5e (round 1): the jitted ALFA step with plain-jnp updates
+and the pallas variant are within noise of each other, because XLA already
+fuses the sign/mul/add/clamp chain into the preceding backward pass; the
+standalone kernel only wins when the update is dispatched UNFUSED (the
+torch situation). We keep exactly one elementwise Pallas kernel in-tree as
+the documented template for future sequential-logic kernels (see
+`nms_kernel.py` for one that does pay off).
 """
 from __future__ import annotations
 

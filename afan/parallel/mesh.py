@@ -68,23 +68,6 @@ def replicate_state(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sh)
 
 
-def data_parallel_step(step_fn, mesh: Mesh, state_donate: bool = True,
-                       axis_name: str = "data"):
-    """Jit a train step ``(state, *batch_arrays[, rng]) -> (state, metrics)``
-    for data-parallel execution: state replicated, batch leading-axis
-    sharded. Gradient reduction is an XLA-inserted ``psum`` riding ICI.
-    """
-    repl = replicated(mesh)
-    bsh = batch_sharding(mesh, axis_name)
-
-    def in_shardings(state, *rest):
-        return (jax.tree.map(lambda _: repl, state),) + tuple(
-            jax.tree.map(lambda _: bsh if hasattr(_, "ndim") and _.ndim > 0
-                         else repl, r) for r in rest)
-
-    return jax.jit(step_fn, donate_argnums=(0,) if state_donate else ())
-
-
 def host_local_batch_to_global(mesh: Mesh, local_arrays,
                                axis_name: str = "data"):
     """Assemble a global on-device batch from per-host local shards

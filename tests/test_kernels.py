@@ -3,8 +3,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from afan.core.afn import mix_feature
-from afan.ops.kernels.afn_kernel import mix_feature_pallas
 from afan.ops.kernels.pgd_step import pgd_update_pallas, pgd_update_reference
 
 
@@ -31,19 +29,6 @@ class TestPgdStepKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6)
         assert float(jnp.max(jnp.abs(got - c))) <= 0.1 + 1e-6
-
-
-class TestAfnKernel:
-    @pytest.mark.parametrize("shape", [(6, 64), (2, 4, 4, 100),
-                                       (3, 5, 256)])
-    def test_matches_reference(self, shape):
-        rng = np.random.RandomState(2)
-        clean = jnp.asarray(rng.randn(*shape), jnp.float32)
-        adv = jnp.asarray(rng.randn(*shape) * 2 + 1, jnp.float32)
-        got = mix_feature_pallas(clean, adv, interpret=True)
-        want = mix_feature(clean, adv)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-5)
 
 
 class TestNmsKernel:
