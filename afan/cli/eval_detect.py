@@ -30,12 +30,16 @@ from ..utils.logging import Log
 
 def get_parser():
     p = argparse.ArgumentParser(description="A-FAN TPU detection eval")
-    p.add_argument("--task", choices=["map", "rob", "sat_layers", "loss_vis"],
+    p.add_argument("--task", choices=["map", "rob", "sat_layers", "loss_vis",
+                                      "sat_vis"],
                    default="map")
     p.add_argument("-s", "--dataset", default="voc2007")
     p.add_argument("-b", "--backbone", default="resnet50")
     p.add_argument("-d", "--data_dir", default="./data")
     p.add_argument("-c", "--checkpoint", required=False, default=None)
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="a reference `Detection/model.py` torch .pth; "
+                        "converted + overlap-restored (model.py:200-217)")
     p.add_argument("--image_min_side", type=float, default=600.0)
     p.add_argument("--image_max_side", type=float, default=1000.0)
     p.add_argument("--anchor_sizes", type=str, default="[128, 256, 512]")
@@ -48,6 +52,11 @@ def get_parser():
     # sat layers
     p.add_argument("--sat_tap", type=int, default=2)
     p.add_argument("--sat_alpha", type=float, default=0.5)
+    # sat_vis (`train_sat_vis.py:129-138` feature dumps)
+    p.add_argument("--spectrum", type=int, default=5)
+    p.add_argument("--gamma_se", type=float, default=0.9)
+    p.add_argument("--dump_dir", default="feature_maps")
+    p.add_argument("--limit_images", type=int, default=4)
     return p
 
 
@@ -77,6 +86,14 @@ def main(argv=None):
         params, frac = overlap_restore(state.params, saved["params"])
         state = state.replace(params=params)
         Log.i(f"Loaded weights ({frac:.1%}) from {args.checkpoint}")
+    if args.torch_checkpoint:
+        from ..interop.torch_zoo import load_torch_frcnn
+        tp, ts, _ = load_torch_frcnn(args.torch_checkpoint)
+        params, fp = overlap_restore(state.params, tp)
+        stats, fs = overlap_restore(state.batch_stats, ts)
+        state = state.replace(params=params, batch_stats=stats)
+        Log.i(f"Torch weights loaded (params {fp:.1%}, stats {fs:.1%}) "
+              f"from {args.torch_checkpoint}")
 
     if args.task == "map":
         detect_fn = make_detect_fn(model)
@@ -148,6 +165,30 @@ def main(argv=None):
         Log.i(f"sat-layer (tap {args.sat_tap}, alpha {args.sat_alpha}) "
               f"mean AP = {mean_ap:.4f}")
         return mean_ap
+
+    if args.task == "sat_vis":
+        # per-spectrum-point feature-map PNG dumps
+        # (`Detection/train_sat_vis.py:129-138`, `attack_algo.py:268-292`)
+        from ..eval.feature_vis import (make_spectrum_features_fn,
+                                        save_spectrum_pngs)
+        fn = make_spectrum_features_fn(model, args.sat_tap,
+                                       args.gamma_se / 255,
+                                       steps=args.pgd_steps,
+                                       eps=args.pgd_eps / 255,
+                                       n_points=args.spectrum)
+        written = done = 0
+        for b in eval_loader:
+            spec = fn(state, jnp.asarray(b.images), jnp.asarray(b.boxes),
+                      jnp.asarray(b.labels), jnp.asarray(b.valid),
+                      jax.random.PRNGKey(done))
+            written += save_spectrum_pngs(spec, b.images, b.image_ids,
+                                          args.dump_dir)
+            done += len(b.image_ids)
+            if args.limit_images and done >= args.limit_images:
+                break
+        Log.i(f"wrote {written} PNGs ({done} images x {args.spectrum} "
+              f"spectrum points) to {args.dump_dir}")
+        return written
 
     if args.task == "loss_vis":
         b = first

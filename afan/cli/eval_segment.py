@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--output_stride", type=int, default=16)
     p.add_argument("--crop_size", type=int, default=513)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--torch_ckpt", default=None,
+                   help="a reference `Segmentation` torch .pth; converted "
+                        "+ overlap-restored")
     p.add_argument("--save_val_results", action="store_true")
     p.add_argument("--results_dir", default="results")
     # pgd flags (`args.py` eval section)
@@ -81,6 +84,15 @@ def main(argv=None):
                               batch_stats=saved.get("batch_stats",
                                                     state.batch_stats))
         Log.i(f"restored {frac:.1%} from {args.ckpt}")
+    if args.torch_ckpt:
+        from ..interop.torch_zoo import load_torch_deeplab
+        tp, ts, _ = load_torch_deeplab(args.torch_ckpt,
+                                       plus="plus" in args.model)
+        params, fp = overlap_restore(state.params, tp)
+        stats, fs = overlap_restore(state.batch_stats, ts)
+        state = state.replace(params=params, batch_stats=stats)
+        Log.i(f"torch weights loaded (params {fp:.1%}, stats {fs:.1%}) "
+              f"from {args.torch_ckpt}")
 
     eval_step = make_seg_eval_step(model, num_classes)
 

@@ -42,9 +42,22 @@ def main(argv=None):
                            jnp.zeros((2, 32, 32, 3)), 0, None, False)
     tx = sgd(lambda c: 0.0)
     state = TrainState.create(variables, tx)
-    saved = load_checkpoint(args.pretrained)
-    if saved is None:
+    import os
+    if not os.path.exists(args.pretrained):
         raise FileNotFoundError(args.pretrained)
+    try:
+        saved = load_checkpoint(args.pretrained)
+        if not isinstance(saved, dict) or "params" not in saved:
+            saved = None
+    except Exception:
+        saved = None  # not a native pickle — try the torch converter
+    if saved is None:
+        # reference torch checkpoint (`cmd/run_test.sh` pretrained model)
+        from ..interop.torch_ckpt import load_torch_resnet_s
+        tparams, tstats, tfrac = load_torch_resnet_s(args.pretrained)
+        saved = {"params": tparams, "batch_stats": tstats}
+        Log.i(f"torch checkpoint converted ({tfrac:.1%} keys) from "
+              f"{args.pretrained}")
     params, frac = overlap_restore(state.params, saved["params"])
     state = state.replace(params=params,
                           batch_stats=saved.get("batch_stats",

@@ -53,6 +53,10 @@ def get_parser():
     p.add_argument("-d", "--data_dir", default="./data")
     p.add_argument("-o", "--outputs_dir", default="./outputs")
     p.add_argument("-r", "--resume_checkpoint", default=None)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="torchvision resnet .pth; overlap-loaded into the "
+                        "backbone like the reference's ImageNet zoo init "
+                        "(`backbone/resnet50_ori.py:281-293`)")
     # Config/TrainConfig surface (`Detection/config/train_config.py`)
     p.add_argument("--image_min_side", type=float, default=600.0)
     p.add_argument("--image_max_side", type=float, default=1000.0)
@@ -67,6 +71,9 @@ def get_parser():
     p.add_argument("--warm_up_num_iters", type=int, default=500)
     p.add_argument("--anchor_smooth_l1_loss_beta", type=float, default=1.0)
     p.add_argument("--proposal_smooth_l1_loss_beta", type=float, default=1.0)
+    p.add_argument("--pooler_mode", choices=["align", "pooling"],
+                   default="align",
+                   help="Config.POOLER_MODE (`config/config.py:12`)")
     p.add_argument("--rpn_pre_nms_top_n", type=int, default=12000)
     p.add_argument("--rpn_post_nms_top_n", type=int, default=2000)
     p.add_argument("--num_steps_to_display", type=int, default=20)
@@ -166,7 +173,8 @@ def main(argv=None):
         train_pre_nms_top_n=args.rpn_pre_nms_top_n,
         train_post_nms_top_n=args.rpn_post_nms_top_n,
         anchor_smooth_l1_beta=args.anchor_smooth_l1_loss_beta,
-        proposal_smooth_l1_beta=args.proposal_smooth_l1_loss_beta)
+        proposal_smooth_l1_beta=args.proposal_smooth_l1_loss_beta,
+        pooler_mode=args.pooler_mode)
     model = FasterRCNN(cfg=cfg, dtype=dtype)
 
     schedule = warmup_multistep_schedule(
@@ -183,6 +191,18 @@ def main(argv=None):
         jnp.asarray(first.valid[:1]), jax.random.PRNGKey(1),
         method=model.losses)
     state = TrainState.create(variables, tx)
+
+    if args.pretrained_backbone:
+        from ..interop.torch_zoo import load_torchvision_backbone
+        bp, bs, _ = load_torchvision_backbone(args.pretrained_backbone,
+                                              frozen_bn=True)
+        merged_p, fp = overlap_restore(state.params["backbone"], bp)
+        merged_s, fs = overlap_restore(state.batch_stats["backbone"], bs)
+        state = state.replace(
+            params={**state.params, "backbone": merged_p},
+            batch_stats={**state.batch_stats, "backbone": merged_s})
+        Log.i(f"ImageNet backbone loaded (params {fp:.1%}, stats {fs:.1%}) "
+              f"from {args.pretrained_backbone}")
 
     mesh = make_mesh(args.num_devices)
     check_divisible(args.batch_size, mesh)

@@ -60,6 +60,10 @@ def get_parser():
                    default="cross_entropy")
     p.add_argument("--val_interval", type=int, default=100)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--pretrained_backbone", default=None,
+                   help="torchvision resnet .pth; overlap-loaded into the "
+                        "backbone like the reference's ImageNet init "
+                        "(`network/backbone/resnet.py:307-319`)")
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--exp", type=str, default="afan")
     p.add_argument("--random_seed", type=int, default=1)
@@ -118,6 +122,18 @@ def main(argv=None):
     dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, dummy, False)
     state = TrainState.create(variables, tx)
+
+    if args.pretrained_backbone:
+        from ..interop.torch_zoo import load_torchvision_backbone
+        bp, bs, _ = load_torchvision_backbone(args.pretrained_backbone,
+                                              frozen_bn=False)
+        merged_p, fp = overlap_restore(state.params["backbone"], bp)
+        merged_s, fs = overlap_restore(state.batch_stats["backbone"], bs)
+        state = state.replace(
+            params={**state.params, "backbone": merged_p},
+            batch_stats={**state.batch_stats, "backbone": merged_s})
+        Log.i(f"ImageNet backbone loaded (params {fp:.1%}, stats {fs:.1%}) "
+              f"from {args.pretrained_backbone}")
 
     mesh = make_mesh(args.num_devices)
     check_divisible(args.batch_size, mesh)

@@ -131,3 +131,39 @@ def _to_jnp(tree):
     import jax
     import jax.numpy as jnp
     return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+
+def resnet_s_params_to_torch_sd(params: Dict[str, Any],
+                                stats: Dict[str, Any],
+                                num_blocks=(9, 9, 9)
+                                ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`load_torch_resnet_s`: export a flax ResNetS tree
+    to the reference's `sequential_model.*` torch layout (for
+    reference-compatible checkpoints and round-trip eval-parity tests)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_bn(prefix, p, s):
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+        out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+        out[f"{prefix}.running_var"] = np.asarray(s["var"])
+
+    out["sequential_model.1.weight"] = np.transpose(
+        np.asarray(params["conv0"]["kernel"]), (3, 2, 0, 1))
+    put_bn("sequential_model.2", params["bn0"], stats["bn0"])
+    n_blocks = sum(num_blocks)
+    for b in range(n_blocks):
+        idx = 4 + b
+        blk_p, blk_s = params[f"blocks_{b}"], stats[f"blocks_{b}"]
+        for conv in ("conv1", "conv2"):
+            out[f"sequential_model.{idx}.{conv}.weight"] = np.transpose(
+                np.asarray(blk_p[conv]["kernel"]), (3, 2, 0, 1))
+        for bn in ("bn1", "bn2"):
+            put_bn(f"sequential_model.{idx}.{bn}", blk_p[bn], blk_s[bn])
+    fc_idx = 4 + n_blocks + 2
+    out[f"sequential_model.{fc_idx}.weight"] = np.transpose(
+        np.asarray(params["fc"]["kernel"]), (1, 0))
+    out[f"sequential_model.{fc_idx}.bias"] = np.asarray(params["fc"]["bias"])
+    if "w" in params:
+        out["w"] = np.asarray(params["w"])
+    return out
