@@ -173,14 +173,12 @@ class DetectionEvaluator:
             return 0.0, "no detections"
         boxes_arr = np.stack(all_boxes) if all_boxes else np.zeros((0, 4))
         if self.protocol == "coco":
-            from .coco_map import coco_bbox_ap
+            from .coco_map import coco_bbox_ap, format_coco_summary
             gt_nodiff = {k: (b, l) for k, (b, l, _) in gt.items()}
             res = coco_bbox_ap(self.num_classes, gt_nodiff, all_ids,
                                boxes_arr, np.asarray(all_classes),
                                np.asarray(all_probs))
-            detail = (f"AP = {res['AP']:.4f}, AP50 = {res['AP50']:.4f}, "
-                      f"AP75 = {res['AP75']:.4f}")
-            return res["AP"], detail
+            return res["AP"], format_coco_summary(res)
         mean_ap, aps = evaluate_detections(
             self.num_classes, gt, all_ids, boxes_arr,
             np.asarray(all_classes), np.asarray(all_probs),

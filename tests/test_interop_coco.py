@@ -42,6 +42,77 @@ class TestCocoAP:
         assert ap["AP50"] < 1.0
 
 
+class TestCocoSummary12:
+    """The full COCOeval summarize() surface: area ranges + maxDets
+    (`Detection/dataset/coco2017.py:160-171` prints all 12 metrics)."""
+
+    def _two_scale_case(self):
+        # one small gt (10x10=100 < 32^2) and one large gt
+        # (120x120=14400 > 96^2), both detected exactly
+        gt = {"a": (np.asarray([[0., 0, 10, 10], [200, 200, 320, 320]]),
+                    np.asarray([1, 1]))}
+        det_boxes = np.asarray([[0., 0, 10, 10], [200, 200, 320, 320]])
+        return gt, det_boxes
+
+    def test_area_range_slices(self):
+        from afan.eval.coco_map import coco_eval_summary
+        gt, det = self._two_scale_case()
+        res = coco_eval_summary(2, gt, ["a", "a"], det,
+                                np.asarray([1, 1]), np.asarray([0.9, 0.8]))
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert res["APs"] == pytest.approx(1.0, abs=1e-6)
+        assert res["APl"] == pytest.approx(1.0, abs=1e-6)
+        assert res["APm"] == -1.0  # no medium gt anywhere → COCOeval -1
+        assert res["ARs"] == pytest.approx(1.0, abs=1e-6)
+        assert res["ARl"] == pytest.approx(1.0, abs=1e-6)
+        assert res["ARm"] == -1.0
+
+    def test_maxdets_recall_caps(self):
+        from afan.eval.coco_map import coco_eval_summary
+        gt, det = self._two_scale_case()
+        res = coco_eval_summary(2, gt, ["a", "a"], det,
+                                np.asarray([1, 1]), np.asarray([0.9, 0.8]))
+        # with maxDets=1 only the top-scored det counts → recall 1/2
+        assert res["AR1"] == pytest.approx(0.5, abs=1e-6)
+        assert res["AR10"] == pytest.approx(1.0, abs=1e-6)
+        assert res["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_det_matched_to_out_of_range_gt_is_ignored(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # a large gt + its exact detection must not count as FP in the
+        # small-area slice (it is matched to an ignored gt); a small gt
+        # missed entirely drives APs to 0
+        gt = {"a": (np.asarray([[0., 0, 10, 10], [200, 200, 320, 320]]),
+                    np.asarray([1, 1]))}
+        res = coco_eval_summary(
+            2, gt, ["a"], np.asarray([[200., 200, 320, 320]]),
+            np.asarray([1]), np.asarray([0.9]))
+        assert res["APs"] == 0.0
+        assert res["APl"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_unmatched_out_of_range_det_ignored(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # small-area slice: a spurious LARGE detection is outside the
+        # range → ignored, so the small gt's perfect detection keeps AP 1
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        res = coco_eval_summary(
+            2, gt, ["a", "a"],
+            np.asarray([[0., 0, 10, 10], [400., 400, 520, 520]]),
+            np.asarray([1, 1]), np.asarray([0.5, 0.9]))
+        assert res["APs"] == pytest.approx(1.0, abs=1e-6)
+        # in the 'all' slice the same spurious det is a high-scored FP
+        assert res["AP"] < 1.0
+
+    def test_formatter_has_12_lines(self):
+        from afan.eval.coco_map import coco_eval_summary, format_coco_summary
+        gt, det = self._two_scale_case()
+        res = coco_eval_summary(2, gt, ["a", "a"], det,
+                                np.asarray([1, 1]), np.asarray([0.9, 0.8]))
+        text = format_coco_summary(res)
+        assert len(text.splitlines()) == 12
+        assert "maxDets=  1" in text and "area= small" in text
+
+
 class TestCocoLoader:
     def test_parse_json(self, tmp_path):
         import json
