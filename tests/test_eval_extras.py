@@ -79,3 +79,48 @@ class TestVocColorMap:
         np.testing.assert_array_equal(cmap[0], [0, 0, 0])        # background
         np.testing.assert_array_equal(cmap[1], [128, 0, 0])      # aeroplane
         np.testing.assert_array_equal(cmap[15], [192, 128, 128])  # person
+
+
+class TestFeatureVis:
+    def test_spectrum_dump(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from afan.eval.feature_vis import (make_spectrum_features_fn,
+                                           save_spectrum_pngs)
+        from afan.models.frcnn import FasterRCNN, FRCNNConfig
+        from afan.train.detect_loop import detection_tx
+        from afan.train.loop import TrainState
+
+        cfg = FRCNNConfig(backbone="resnet18", num_classes=4,
+                          train_pre_nms_top_n=128, train_post_nms_top_n=32,
+                          roi_samples=8, roi_fg_cap=2, rpn_samples=16,
+                          rpn_fg_cap=8, anchor_sizes=(32, 64))
+        m = FasterRCNN(cfg=cfg)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                           jnp.float32)
+        gtb = jnp.asarray([[[8., 8, 40, 40]]])
+        gtc = jnp.asarray([[2]], jnp.int32)
+        gtv = jnp.asarray([[True]])
+        vs = m.init({"params": jax.random.PRNGKey(0)}, imgs, gtb, gtc, gtv,
+                    jax.random.PRNGKey(1), method=m.losses)
+        state = TrainState.create(vs, detection_tx(lambda c: 0.0))
+        fn = make_spectrum_features_fn(m, tap=2, gamma=0.9 / 255, steps=1,
+                                       eps=2.0 / 255, n_points=3)
+        spec = fn(state, imgs, gtb, gtc, gtv, jax.random.PRNGKey(2))
+        assert spec.shape[0] == 3 and spec.shape[1] == 1
+        # endpoint 0 is the clean head feature
+        clean = m.apply(state.variables(), imgs, 2, False,
+                        method=m.backbone_head)
+        # (tolerance: the jitted spectrum program and the eager apply may
+        # fuse convolutions differently on CPU)
+        np.testing.assert_allclose(np.asarray(spec[0]), np.asarray(clean),
+                                   atol=5e-4, rtol=5e-4)
+        # endpoints differ (the ascent moved the feature)
+        assert float(jnp.abs(spec[2] - spec[0]).max()) > 0
+        n = save_spectrum_pngs(np.asarray(spec), np.asarray(imgs), ["img7"],
+                               str(tmp_path))
+        assert n == 4  # input + 3 spectrum points
+        import os
+        assert os.path.exists(tmp_path / "img7_input.png")
+        assert os.path.exists(tmp_path / "img7_spec2.png")
