@@ -70,6 +70,7 @@ class FRCNNConfig:
     roi_fg_cap: int = 32
     rpn_samples: int = 256
     rpn_fg_cap: int = 128
+    pooler_mode: str = "align"   # Config.POOLER_MODE: 'align' | 'pooling'
 
 
 class FasterRCNN(nn.Module):
@@ -216,7 +217,8 @@ class FasterRCNN(nn.Module):
     def _hidden_vec(self, features, flat_boxes, bidx, train: bool):
         return pool_and_hidden(
             features, flat_boxes, bidx,
-            hidden_fn=lambda x: self.backbone.run_stage(x, 3, train))
+            hidden_fn=lambda x: self.backbone.run_stage(x, 3, train),
+            mode=self.cfg.pooler_mode)
 
     # ---------- SD taps: ROI head (`model.py:115-150,298-351`) ----------
 

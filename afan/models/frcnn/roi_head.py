@@ -132,9 +132,11 @@ def generate_detections(proposals: jnp.ndarray, class_logits: jnp.ndarray,
 
 
 def pool_and_hidden(features: jnp.ndarray, boxes: jnp.ndarray,
-                    batch_indices: jnp.ndarray, hidden_fn) -> jnp.ndarray:
+                    batch_indices: jnp.ndarray, hidden_fn,
+                    mode: str = "align") -> jnp.ndarray:
     """Pooler → layer4 "hidden" → global max pool → (R, C_hidden) vector
-    (`model.py:284-296`). ``hidden_fn`` runs the backbone's layer4."""
-    pooled = pool_rois(features, boxes, batch_indices)      # (R,7,7,C)
+    (`model.py:284-296`). ``hidden_fn`` runs the backbone's layer4;
+    ``mode`` selects ALIGN or the legacy POOLING pooler."""
+    pooled = pool_rois(features, boxes, batch_indices, mode)  # (R,7,7,C)
     hidden = hidden_fn(pooled)                               # (R,4,4,2048)
     return jnp.max(hidden, axis=(1, 2))                      # global max

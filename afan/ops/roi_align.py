@@ -112,17 +112,74 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray,
     return jnp.concatenate(chunks, axis=0)[:R]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "spatial_scale", "samples"))
+def roi_pool_max(feat: jnp.ndarray, boxes: jnp.ndarray,
+                 batch_indices: jnp.ndarray,
+                 output_size: Tuple[int, int] = (7, 7),
+                 spatial_scale: float = 1.0 / 16,
+                 samples: int = 12) -> jnp.ndarray:
+    """The legacy POOLING mode (`roi/pooler.py:24-33`): integer crop of
+    the ROI (round + clamp of the scaled corners) followed by adaptive max
+    pooling to ``output_size``.
+
+    The reference loops ROIs in python and calls adaptive_max_pool2d on
+    dynamically-shaped crops; here each output bin takes the max over a
+    STATIC grid of ``samples`` x ``samples`` nearest-neighbor taps spanning
+    the bin. Exact equality holds whenever the bin side is <= ``samples``
+    feature pixels (bin side = ceil(crop/7); crop <= 7*samples, i.e.
+    images up to 16*7*12 = 1344 px at scale 1/16 — covers the VOC and COCO
+    geometries); larger crops degrade gracefully to dense subsampling.
+    """
+    ph, pw = output_size
+    K = samples
+    H, W = feat.shape[1], feat.shape[2]
+
+    def axis_positions(lo, size, n_bins):
+        """(R, n_bins*K) nearest-sample indices for adaptive pooling bins
+        [floor(i*size/n), ceil((i+1)*size/n))."""
+        # epsilon guards: i*size/n is integer-valued for many (i, size)
+        # pairs and float32 division noise (~1e-5) must not flip the
+        # floor/ceil across the integer (bin fractions are multiples of
+        # 1/n_bins, far above 1e-3)
+        i = jnp.arange(n_bins, dtype=jnp.float32)
+        bs = jnp.floor(i[None, :] * size[:, None] / n_bins + 1e-3)
+        be = jnp.ceil((i[None, :] + 1.0) * size[:, None] / n_bins - 1e-3)
+        t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+        pos = bs[:, :, None] + t[None, None, :] * (be - bs)[:, :, None]
+        idx = jnp.floor(pos)
+        idx = jnp.minimum(idx, (be - 1.0)[:, :, None])
+        return (lo[:, None, None] + idx).reshape(idx.shape[0], -1)
+
+    # reference crop rule: round, clamp to the feature extent
+    x1 = jnp.clip(jnp.round(boxes[:, 0] * spatial_scale), 0, W)
+    y1 = jnp.clip(jnp.round(boxes[:, 1] * spatial_scale), 0, H)
+    x2 = jnp.clip(jnp.round(boxes[:, 2] * spatial_scale), 0, W)
+    y2 = jnp.clip(jnp.round(boxes[:, 3] * spatial_scale), 0, H)
+    w = jnp.maximum(x2 - x1, 1.0)
+    h = jnp.maximum(y2 - y1, 1.0)
+    ys = axis_positions(y1, h, ph)               # (R, ph*K)
+    xs = axis_positions(x1, w, pw)               # (R, pw*K)
+    yi = jnp.clip(ys.astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip(xs.astype(jnp.int32), 0, W - 1)
+    b = batch_indices[:, None, None]
+    vals = feat[b, yi[:, :, None], xi[:, None, :]]   # (R, ph*K, pw*K, C)
+    r = boxes.shape[0]
+    vals = vals.reshape(r, ph, K, pw, K, -1)
+    return vals.max(axis=(2, 4))
+
+
 def pool_rois(feat: jnp.ndarray, boxes: jnp.ndarray,
               batch_indices: jnp.ndarray, mode: str = "align"
               ) -> jnp.ndarray:
-    """The reference Pooler (`roi/pooler.py:18-43`): ROIAlign 14x14 at
-    scale 1/16 then 2x2/2 max pool → (R, 7, 7, C). ``mode='pooling'``
-    (python-loop adaptive max pool) is intentionally not replicated — the
-    reference default config is ALIGN (`config/config.py:12`)."""
+    """The reference Pooler (`roi/pooler.py:18-43`): ALIGN = ROIAlign
+    14x14 at scale 1/16 then 2x2/2 max pool → (R, 7, 7, C); POOLING =
+    adaptive max pool of the integer ROI crop (:func:`roi_pool_max`)."""
+    if mode == "pooling":
+        return roi_pool_max(feat, boxes, batch_indices, (7, 7), 1.0 / 16)
     if mode != "align":
-        raise NotImplementedError(
-            "POOLING mode is a non-default legacy path in the reference "
-            "(Config.POOLER_MODE='align'); only ALIGN is implemented")
+        raise ValueError(f"unknown pooler mode {mode!r}")
     x = roi_align(feat, boxes, batch_indices, (14, 14), 1.0 / 16, 2)
     r, h, w, c = x.shape
     return x.reshape(r, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
