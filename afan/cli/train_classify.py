@@ -244,6 +244,7 @@ def main(argv=None):
             if is_best:
                 save_checkpoint(os.path.join(args.save_dir,
                                              "best_model.pt"), payload)
+            _dump_results(args.save_dir, all_result, all_norm)
             continue
         if device_data:
             n = len(train_loader.x)
@@ -283,6 +284,7 @@ def main(argv=None):
             if is_best:
                 save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),
                                 payload)
+            _dump_results(args.save_dir, all_result, all_norm)
             continue
         for i, (x, y) in enumerate(Prefetcher(train_loader)):
             if args.limit_batches and i >= args.limit_batches:
@@ -329,13 +331,18 @@ def main(argv=None):
         if is_best:
             save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),
                             payload)
-        with open(os.path.join(args.save_dir, "result.pkl"), "wb") as f:
-            pickle.dump(all_result, f)
-        with open(os.path.join(args.save_dir, "result_norm.pkl"), "wb") as f:
-            pickle.dump(all_norm, f)
+        _dump_results(args.save_dir, all_result, all_norm)
 
     Log.i(f"done; best val accuracy {best_prec1:.2f}")
     return best_prec1
+
+
+def _dump_results(save_dir, all_result, all_norm):
+    """result.pkl + result_norm.pkl (`main_perturb.py:138-150` dumps)."""
+    with open(os.path.join(save_dir, "result.pkl"), "wb") as f:
+        pickle.dump(all_result, f)
+    with open(os.path.join(save_dir, "result_norm.pkl"), "wb") as f:
+        pickle.dump(all_norm, f)
 
 
 if __name__ == "__main__":
