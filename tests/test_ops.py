@@ -154,3 +154,58 @@ class TestRoiAlign:
 
         g = jax.grad(f)(feat)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestRoiPoolMax:
+    """POOLING mode (`roi/pooler.py:24-33`): adaptive max pool of the
+    integer ROI crop, checked against a literal numpy oracle."""
+
+    @staticmethod
+    def _oracle(feat, box, scale=1.0 / 16, out=(7, 7)):
+        import math
+        H, W = feat.shape[:2]
+        x1 = int(min(max(round(box[0] * scale), 0), W))
+        y1 = int(min(max(round(box[1] * scale), 0), H))
+        x2 = int(min(max(round(box[2] * scale), 0), W))
+        y2 = int(min(max(round(box[3] * scale), 0), H))
+        w, h = max(x2 - x1, 1), max(y2 - y1, 1)
+        crop = feat[y1:y1 + h, x1:x1 + w]
+        ph, pw = out
+        res = np.zeros((ph, pw, feat.shape[-1]), feat.dtype)
+        for i in range(ph):
+            for j in range(pw):
+                ys, ye = math.floor(i * h / ph), math.ceil((i + 1) * h / ph)
+                xs, xe = math.floor(j * w / pw), math.ceil((j + 1) * w / pw)
+                res[i, j] = crop[ys:ye, xs:xe].max(axis=(0, 1))
+        return res
+
+    def test_matches_adaptive_max_pool(self):
+        from afan.ops.roi_align import roi_pool_max
+        rng = np.random.RandomState(0)
+        feat = rng.randn(2, 38, 63, 8).astype(np.float32)
+        # boxes in image coords (scale 1/16), varied sizes incl. tiny and
+        # full-extent
+        boxes = np.asarray([
+            [0, 0, 1000, 600],        # whole image
+            [100, 50, 500, 400],
+            [33, 21, 70, 60],         # tiny crop (2-3 feature px)
+            [900, 500, 1010, 620],    # clipped at the boundary
+        ], np.float32)
+        bidx = np.asarray([0, 1, 0, 1], np.int32)
+        got = np.asarray(roi_pool_max(jnp.asarray(feat), jnp.asarray(boxes),
+                                      jnp.asarray(bidx)))
+        for r in range(len(boxes)):
+            want = self._oracle(feat[bidx[r]], boxes[r])
+            np.testing.assert_allclose(got[r], want, err_msg=f"roi {r}")
+
+    def test_pool_rois_dispatch(self):
+        from afan.ops.roi_align import pool_rois
+        feat = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 4),
+                           np.float32)
+        boxes = jnp.asarray([[0.0, 0, 128, 128]])
+        bidx = jnp.asarray([0], jnp.int32)
+        out_a = pool_rois(feat, boxes, bidx, mode="align")
+        out_p = pool_rois(feat, boxes, bidx, mode="pooling")
+        assert out_a.shape == out_p.shape == (1, 7, 7, 4)
+        with pytest.raises(ValueError):
+            pool_rois(feat, boxes, bidx, mode="bogus")
