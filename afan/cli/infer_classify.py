@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--dataset", choices=["cifar10", "cifar100"],
                    default="cifar10")
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0,
+                   help="data seed (synthetic fallback regenerates its "
+                        "class templates from this)")
     p.add_argument("--pretrained", type=str, required=True,
                    help="checkpoint path (checkpoint.pt / best_model.pt)")
     p.add_argument("--pgd", action="store_true",
@@ -36,7 +39,7 @@ def main(argv=None):
     loaders = (cifar10_dataloaders if args.dataset == "cifar10"
                else cifar100_dataloaders)
     _, _, test_loader = loaders(args.batch_size, args.batch_size,
-                                data_dir=args.data)
+                                data_dir=args.data, seed=args.seed)
     model = resnet56()
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, 32, 32, 3)), 0, None, False)
