@@ -5,26 +5,37 @@ the Faster R-CNN forward in isolation to locate the non-compute-bound mass
     python scripts/profile_det.py [--backbone resnet50]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+_scalarize = jax.jit(lambda t: sum(jnp.sum(l.astype(jnp.float32))
+                                   for l in jax.tree.leaves(t)))
+
+
 def timeit(name, fn, *args, iters=20, sync=None):
+    """NOTE: sync must fetch only a SCALAR — fetching a tensor through the
+    remote-TPU tunnel times the transfer, not the compute (measured: a
+    (256,14,14,1024) fetch alone reads as ~300 ms)."""
     out = fn(*args)
-    sync_val = sync(out) if sync else jax.tree.leaves(out)[0]
-    _ = np.asarray(sync_val)
+    sync_val = sync(out) if sync else _scalarize(out)
+    _ = float(sync_val)
     best = float("inf")
     for _w in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        sync_val = sync(out) if sync else jax.tree.leaves(out)[0]
-        _ = np.asarray(sync_val)
+        sync_val = sync(out) if sync else _scalarize(out)
+        _ = float(sync_val)
         best = min(best, (time.perf_counter() - t0) / iters)
-    print(f"{name:42s} {best * 1e3:9.2f} ms")
+    print(f"{name:42s} {best * 1e3:9.2f} ms", flush=True)
     return best
 
 
@@ -64,7 +75,34 @@ def main():
     feat_fn = jax.jit(lambda v, x: model.apply(v, x, train=True,
                                                method=model.features_clean))
     feats = feat_fn(vs, images)
-    timeit("backbone fwd (stem..layer3)", feat_fn, vs, images)
+    t = timeit("backbone fwd (stem..layer3)", feat_fn, vs, images)
+    try:
+        cost = feat_fn.lower(vs, images).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        fl = float(cost["flops"])
+        print(f"  cost_analysis: {fl / 1e9:.1f} GFLOP -> "
+              f"{fl / t / 1e12:.1f} TF/s achieved")
+    except Exception as e:
+        print("  (no cost analysis:", e, ")")
+
+    # raw conv probe: one layer3-shaped 3x3 conv, bf16
+    cw = jnp.asarray(rng.randn(3, 3, 1024, 1024) * 0.01, dtype)
+    cx = jnp.asarray(rng.randn(B, 38, 63, 1024), dtype)
+    conv_fn = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    tconv = timeit("raw 3x3 conv (2,38,63,1024)x1024", conv_fn, cx, cw)
+    fl = 2 * B * 38 * 63 * 1024 * 1024 * 9
+    print(f"  raw conv: {fl / 1e9:.1f} GFLOP -> {fl / tconv / 1e12:.1f} TF/s")
+
+    # stem-resolution conv probe
+    cw2 = jnp.asarray(rng.randn(3, 3, 256, 256) * 0.01, dtype)
+    cx2 = jnp.asarray(rng.randn(B, 152, 252, 256), dtype)
+    t2 = timeit("raw 3x3 conv (2,152,252,256)x256", conv_fn, cx2, cw2)
+    fl2 = 2 * B * 152 * 252 * 256 * 256 * 9
+    print(f"  raw conv2: {fl2 / 1e9:.1f} GFLOP -> {fl2 / t2 / 1e12:.1f} TF/s")
 
     fh, fw = feats.shape[1], feats.shape[2]
     from afan.models.frcnn.anchors import generate_anchors
@@ -72,7 +110,8 @@ def main():
                                            cfg.anchor_sizes))
     print(f"anchors: {anchors.shape[0]}")
 
-    rpn_fn = jax.jit(lambda v, f: model.apply(v, f, method=model.rpn))
+    rpn_fn = jax.jit(lambda v, f: model.apply(v, f,
+                                              method=lambda m, a: m.rpn(a)))
     obj, reg = rpn_fn(vs, feats)
     timeit("rpn heads fwd", rpn_fn, vs, feats)
 
@@ -127,7 +166,6 @@ def main():
            sync=lambda o: o)
 
     for name, acfg in [
-            ("afan flagship step", DetAfanConfig()),
             ("afan share_proposals", DetAfanConfig(share_proposals=True)),
             ("afan share+no-remat-tails",
              DetAfanConfig(share_proposals=True, remat_tails=False)),
@@ -148,6 +186,7 @@ def main():
             h["s"], h["m"] = step(h["s"], images, boxes, labels, valid, key)
             return h["m"]["loss"]
         timeit(name, lambda run=run: run(), iters=5, sync=lambda o: o)
+        del h["s"], h["m"], step, st2
 
 
 if __name__ == "__main__":

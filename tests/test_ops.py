@@ -4,6 +4,7 @@ plus the reference's golden NMS regression fixtures
 kept at IoU 0.7)."""
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -209,3 +210,51 @@ class TestRoiPoolMax:
         assert out_a.shape == out_p.shape == (1, 7, 7, 4)
         with pytest.raises(ValueError):
             pool_rois(feat, boxes, bidx, mode="bogus")
+
+
+class TestRoiAlignEinsum:
+    """The MXU (separable-matmul) ROIAlign must equal the gather oracle."""
+
+    def test_matches_gather_exactly(self):
+        from afan.ops.roi_align import roi_align_einsum, roi_align_gather
+        rng = np.random.RandomState(3)
+        feat = rng.randn(3, 25, 40, 16).astype(np.float32)
+        boxes = np.asarray([
+            [0, 0, 640, 400],          # whole image
+            [100, 50, 300, 350],
+            [-40, -40, 90, 90],        # partially out of bounds
+            [600, 380, 700, 500],      # clipped at far corner
+            [33, 21, 35, 24],          # tiny
+        ], np.float32)
+        bidx = np.asarray([0, 1, 2, 0, 1], np.int32)
+        a = roi_align_einsum(jnp.asarray(feat), jnp.asarray(boxes),
+                             jnp.asarray(bidx), (14, 14), 1.0 / 16, 2)
+        b = roi_align_gather(jnp.asarray(feat), jnp.asarray(boxes),
+                             jnp.asarray(bidx), (14, 14), 1.0 / 16, 2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_no_cross_image_bleed(self):
+        # identical box on two images whose features differ only in the
+        # OTHER image must pool identically
+        from afan.ops.roi_align import roi_align_einsum
+        rng = np.random.RandomState(4)
+        f1 = rng.randn(2, 10, 10, 4).astype(np.float32)
+        f2 = f1.copy()
+        f2[1] += 100.0  # poison image 1
+        box = jnp.asarray([[0.0, 0, 160, 160]])
+        zero = jnp.asarray([0], jnp.int32)
+        a = roi_align_einsum(jnp.asarray(f1), box, zero, (7, 7))
+        b = roi_align_einsum(jnp.asarray(f2), box, zero, (7, 7))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_grad_flows(self):
+        from afan.ops.roi_align import roi_align_einsum
+        feat = jnp.ones((1, 8, 8, 2))
+        box = jnp.asarray([[0.0, 0, 64, 64]])
+
+        def s(f):
+            return jnp.sum(roi_align_einsum(f, box,
+                                            jnp.zeros(1, jnp.int32), (7, 7)))
+        g = jax.grad(s)(feat)
+        assert float(jnp.sum(g)) > 0
