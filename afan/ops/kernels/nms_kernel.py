@@ -2,19 +2,37 @@
 bitmask kernel (`Detection/support/src/cuda/nms.cu:23-131`, 64-thread
 tiles + host-side scan), redesigned for the TPU grid model:
 
-* boxes arrive score-sorted in a TRANSPOSED (4, N) layout so each
-  coordinate is one lane-contiguous row in VMEM;
-* the full (N,) suppression vector lives in VMEM scratch, which persists
-  across the sequential TPU grid;
-* grid step i resolves its 128-box tile with an in-register ``fori_loop``
-  (the greedy data dependence), then suppresses all later boxes with
-  column-chunked (128, CHUNK) vectorized IoU tiles on the VPU — no N x N
-  matrix ever exists, and VMEM transients stay bounded. The pure-JAX
-  fallback in :mod:`afan.ops.nms` materializes the full matrix, which is
-  fine for eval-sized N but does not scale (in compile time or memory) to
-  the 12k-anchor training path;
+* boxes arrive score-sorted in TWO layouts: a TRANSPOSED (4, N) row
+  layout (each coordinate one lane-contiguous VMEM row — the *victim*
+  side of every pairwise tile) and the natural (N, 4) column layout (the
+  *suppressor* side — sublane-contiguous (BLOCK, 1) loads). Feeding both
+  costs 2x input bytes but removes every in-kernel lane<->sublane
+  transpose, which dominated the first version of this kernel;
+* the full (N,) suppression vector and per-box areas live in VMEM
+  scratch, which persists across the sequential TPU grid;
+* grid step i resolves its ``BLOCK``-box tile by **convergence rounds**
+  instead of a per-box sequential loop: each round finalizes every box
+  with no surviving earlier suppressor (a vectorized (BLOCK, BLOCK)
+  masked reduce) and removes everything those winners suppress. Real
+  suppression graphs are shallow, so a handful of rounds replaces BLOCK
+  data-dependent scalar iterations — this is what makes large tiles
+  profitable. The rounds iteration is exact greedy NMS: a box is
+  finalized only when every earlier potential suppressor is decided,
+  which is precisely the greedy recurrence;
+* the resolved tile then suppresses all later boxes with column-chunked
+  (BLOCK, CHUNK) vectorized IoU tiles on the VPU — no N x N matrix ever
+  exists and VMEM transients stay bounded. Suppressed tile boxes are
+  made DEGENERATE on the suppressor side (x2' < x1), so the sweep needs
+  no kept-mask multiply; chunks strictly after the tile skip the
+  "later-box" iota mask; fully-suppressed chunks and kept-empty tiles
+  skip entirely. The pure-JAX fallback in :mod:`afan.ops.nms`
+  materializes the full matrix, which is fine for eval-sized N but does
+  not scale to the 12k-anchor training path;
 * suppression convention matches the reference kernels: ``iou >=
-  threshold``, optional legacy +1 pixel areas.
+  threshold`` with the same ``inter / (area_a + area_b - inter)``
+  float arithmetic (bit-compatible with the CPU oracle on boundary
+  cases — a division-free rearrangement would not be), optional legacy
+  +1 pixel areas.
 """
 from __future__ import annotations
 
@@ -25,116 +43,145 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128
-CHUNK = 1024  # column-tile width for the suppress-later sweep
+# Tile sizes bound scoped VMEM: the sweep's (BLOCK, CHUNK) transients are
+# the fat ones, and the kernel must also fit when embedded in a big
+# vmapped/rematted train step (16 MB scoped-VMEM limit) — B512/C1024
+# compiles standalone but OOMs inside the flagship detection step.
+BLOCK = 256
+CHUNK = 1024     # column-tile width for the suppress-later sweep
+STATIC_ROUNDS = 6  # unconditional resolve rounds before the exact fallback
 
 
-def _pairwise_over(tx1, ty1, tx2, ty2, tarea, cx1, cy1, cx2, cy2, carea,
-                   threshold, off):
+def _over(tx1, ty1, tx2, ty2, tarea, cx1, cy1, cx2, cy2, carea, threshold,
+          off):
     """(BLOCK, W) IoU >= threshold mask of tile columns vs chunk rows."""
-    jx1 = jnp.maximum(tx1, cx1)
-    jy1 = jnp.maximum(ty1, cy1)
-    jx2 = jnp.minimum(tx2, cx2)
-    jy2 = jnp.minimum(ty2, cy2)
-    jw = jnp.maximum(jx2 - jx1 + off, 0.0)
-    jh = jnp.maximum(jy2 - jy1 + off, 0.0)
+    jw = jnp.maximum(jnp.minimum(tx2, cx2) - jnp.maximum(tx1, cx1) + off, 0.0)
+    jh = jnp.maximum(jnp.minimum(ty2, cy2) - jnp.maximum(ty1, cy1) + off, 0.0)
     jinter = jw * jh
     jiou = jinter / jnp.maximum(tarea + carea - jinter, 1e-12)
     return (jiou >= threshold).astype(jnp.float32)
 
 
-def _nms_kernel(boxes_ref, valid_ref, keep_ref, sup_ref, mat_ref, *,
-                n_pad: int, threshold: float, off: float):
-    """One grid step. boxes_ref: (4, n_pad) [x1;y1;x2;y2] score-sorted;
-    valid_ref/keep_ref/sup_ref: (1, n_pad) float rows (1.0 = true)."""
+def _nms_kernel(rows_ref, cols_ref, valid_ref, keep_ref, sup_ref, area_ref,
+                mat_ref, tri_ref, *, n_pad: int, threshold: float,
+                off: float):
+    """One grid step. rows_ref: (4, n_pad) [x1;y1;x2;y2] score-sorted;
+    cols_ref: (n_pad, 4) same boxes; valid/keep/sup/area: (1, n_pad)."""
     i = pl.program_id(0)
     start = pl.multiple_of(i * BLOCK, BLOCK)
 
     @pl.when(i == 0)
     def _():
         sup_ref[:] = 1.0 - valid_ref[:]   # invalid slots start suppressed
+        area_ref[:] = ((rows_ref[2:3, :] - rows_ref[0:1, :] + off)
+                       * (rows_ref[3:4, :] - rows_ref[1:2, :] + off))
+        rids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+        cids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+        tri_ref[:] = (cids > rids).astype(jnp.float32)
 
-    def coord(r, lo, width):
-        return boxes_ref[r:r + 1, pl.ds(lo, width)]
+    def vrow(r, lo, width):
+        return rows_ref[r:r + 1, pl.ds(lo, width)]
 
-    # my tile as (BLOCK, 1) columns
-    tx1 = coord(0, start, BLOCK).reshape(BLOCK, 1)
-    ty1 = coord(1, start, BLOCK).reshape(BLOCK, 1)
-    tx2 = coord(2, start, BLOCK).reshape(BLOCK, 1)
-    ty2 = coord(3, start, BLOCK).reshape(BLOCK, 1)
+    # my tile as native (BLOCK, 1) columns — no transposes
+    tile = cols_ref[pl.ds(start, BLOCK), :]
+    tx1 = tile[:, 0:1]
+    ty1 = tile[:, 1:2]
+    tx2 = tile[:, 2:3]
+    ty2 = tile[:, 3:4]
     tarea = (tx2 - tx1 + off) * (ty2 - ty1 + off)
 
-    # (1) within-tile pairwise suppression matrix, strictly j > i
-    sup_mat = _pairwise_over(
-        tx1, ty1, tx2, ty2, tarea,
-        tx1.reshape(1, BLOCK), ty1.reshape(1, BLOCK),
-        tx2.reshape(1, BLOCK), ty2.reshape(1, BLOCK),
-        tarea.reshape(1, BLOCK), threshold, off)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    sup_mat = sup_mat * (col_ids > row_ids).astype(jnp.float32)
+    # (1) within-tile pairwise suppression matrix S[j, i] ("row j suppresses
+    # column i"), strictly j < i
+    sup_mat = _over(tx1, ty1, tx2, ty2, tarea,
+                    vrow(0, start, BLOCK), vrow(1, start, BLOCK),
+                    vrow(2, start, BLOCK), vrow(3, start, BLOCK),
+                    area_ref[0:1, pl.ds(start, BLOCK)], threshold, off)
+    mat_ref[:] = sup_mat * tri_ref[:]
 
-    # (2) sequential greedy within the tile on a (1, BLOCK) register row.
-    # The suppression matrix is staged in VMEM scratch so row k is a cheap
-    # dynamic-sublane load (dynamic_slice of VALUES is not lowerable on
-    # TPU Pallas, and a masked reduce over (128,128) per iteration is ~20x
-    # slower); the kept_k scalar is a (1, BLOCK) masked reduce.
-    mat_ref[:] = sup_mat
+    # (2) greedy resolve by convergence rounds. alive = undecided boxes;
+    # each round finalizes the frontier F (alive boxes with no alive
+    # earlier suppressor — all greedy-kept) and removes their victims.
+    # Terminates because the first undecided box is always in F.
     sup_tile0 = sup_ref[0:1, pl.ds(start, BLOCK)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    alive0 = 1.0 - sup_tile0
+    kept0 = jnp.zeros_like(alive0)
 
-    # 16 dynamic iterations of 8 statically-unrolled steps: each group
-    # loads one (8, BLOCK) sublane block of the suppression matrix and
-    # resolves its 8 rows with static sublane slicing — ~8x fewer loop
-    # iterations than a 128-step fori, same exact greedy result.
-    GROUP = 8
+    def round_cond(state):
+        alive, _ = state
+        return jnp.sum(alive) > 0.0
 
-    def group_body(g, sup_row):
-        rows = mat_ref[pl.ds(g * GROUP, GROUP), :]       # (8, BLOCK)
-        for j in range(GROUP):
-            k = g * GROUP + j
-            kept_k = 1.0 - jnp.sum(jnp.where(lane == k, sup_row, 0.0))
-            sup_row = jnp.minimum(sup_row + kept_k * rows[j:j + 1, :], 1.0)
-        return sup_row
+    def round_body(state):
+        alive, kept = state
+        S = mat_ref[:]
+        alive_col = alive.reshape(BLOCK, 1)
+        sup_by_alive = jnp.max(S * alive_col, axis=0, keepdims=True)
+        F = alive * (1.0 - sup_by_alive)           # finalized kept this round
+        sup_by_F = jnp.max(S * F.reshape(BLOCK, 1), axis=0, keepdims=True)
+        alive = alive * (1.0 - F) * (1.0 - sup_by_F)
+        return alive, kept + F
 
-    # skip the greedy resolve when every box in the tile is already
-    # suppressed by earlier tiles (common near the tail of the list)
-    sup_tile = jax.lax.cond(
-        jnp.sum(sup_tile0) < float(BLOCK),
-        lambda: jax.lax.fori_loop(0, BLOCK // GROUP, group_body, sup_tile0),
-        lambda: sup_tile0)
-    kept_col = (1.0 - sup_tile).reshape(BLOCK, 1)
-    sup_ref[0:1, pl.ds(start, BLOCK)] = sup_tile
+    # Data-dependent predicates are the expensive thing on TPU (each is a
+    # VPU -> scalar-unit sync); a while_loop pays one per round. So run
+    # STATIC_ROUNDS unconditionally (converged rounds are arithmetic
+    # no-ops: F == 0), then fall back to the exact while_loop only for the
+    # rare tile whose suppression-chain depth exceeds them — one predicate
+    # per tile instead of one per round. fori_loop (scalar trip count), NOT
+    # a python unroll: unrolling materializes each round's (BLOCK, BLOCK)
+    # transients separately and blows the 16 MB scoped-VMEM limit.
+    state = jax.lax.fori_loop(0, STATIC_ROUNDS,
+                              lambda _, st: round_body(st), (alive0, kept0))
+    _, kept = jax.lax.cond(round_cond(state),
+                           lambda st: jax.lax.while_loop(round_cond,
+                                                         round_body, st),
+                           lambda st: st, state)
+    sup_ref[0:1, pl.ds(start, BLOCK)] = 1.0 - kept
+
+    # degenerate suppressor-side coordinates for non-kept tile boxes:
+    # x-extent becomes negative, so their sweep IoU rows are exactly 0 and
+    # the sweep needs no kept-mask multiply.
+    kept_col = kept.reshape(BLOCK, 1)
+    dead = kept_col < 0.5
+    kx1 = jnp.where(dead, 2.0, tx1)
+    kx2 = jnp.where(dead, -2.0 - off, tx2)
 
     # (3) suppress all LATER boxes, chunked over columns to bound VMEM.
-    # Only chunks at or after this tile can contain later boxes. Real
-    # detection score distributions suppress heavily (the reference golden
-    # case keeps 1934/6000), so late tiles are often FULLY suppressed —
-    # skip their O(BLOCK x N) sweep entirely.
+    # The boundary chunk (containing the tile itself) applies the
+    # "strictly later" iota mask; every following chunk streams mask-free.
+    # Real detection score distributions suppress heavily (the reference
+    # golden case keeps 1934/6000), so late tiles are often FULLY
+    # suppressed — skip their O(BLOCK x CHUNK) sweep, and skip
+    # already-dead chunks.
     num_chunks = n_pad // CHUNK
-    kept_any = jnp.sum(kept_col) > 0.0
+    kept_any = jnp.sum(kept) > 0.0
 
     @pl.when(kept_any)
     def _():
+        def chunk_hits(lo):
+            return jnp.max(
+                _over(kx1, ty1, kx2, ty2, tarea,
+                      vrow(0, lo, CHUNK), vrow(1, lo, CHUNK),
+                      vrow(2, lo, CHUNK), vrow(3, lo, CHUNK),
+                      area_ref[0:1, pl.ds(lo, CHUNK)], threshold, off),
+                axis=0, keepdims=True)
+
+        # boundary chunk: mask to strictly-later columns
+        blo = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+        gcol = blo + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        later = (gcol >= start + BLOCK).astype(jnp.float32)
+        cur = sup_ref[0:1, pl.ds(blo, CHUNK)]
+        sup_ref[0:1, pl.ds(blo, CHUNK)] = jnp.minimum(
+            cur + chunk_hits(blo) * later, 1.0)
+
         def sweep(ci, _):
             lo = pl.multiple_of(ci * CHUNK, CHUNK)
-            over = _pairwise_over(
-                tx1, ty1, tx2, ty2, tarea,
-                coord(0, lo, CHUNK), coord(1, lo, CHUNK),
-                coord(2, lo, CHUNK), coord(3, lo, CHUNK),
-                (coord(2, lo, CHUNK) - coord(0, lo, CHUNK) + off)
-                * (coord(3, lo, CHUNK) - coord(1, lo, CHUNK) + off),
-                threshold, off)
-            hit_any = jnp.max(over * kept_col, axis=0, keepdims=True)
-            gcol = lo + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            later = (gcol >= start + BLOCK).astype(jnp.float32)
             cur = sup_ref[0:1, pl.ds(lo, CHUNK)]
+            # no dead-chunk skip: the predicate reduction would cost more
+            # than the streamed VPU work it saves (measured)
             sup_ref[0:1, pl.ds(lo, CHUNK)] = jnp.minimum(
-                cur + hit_any * later, 1.0)
+                cur + chunk_hits(lo), 1.0)
             return 0
 
-        first_chunk = start // CHUNK
-        jax.lax.fori_loop(first_chunk, num_chunks, sweep, 0)
+        jax.lax.fori_loop(start // CHUNK + 1, num_chunks, sweep, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -147,9 +194,11 @@ def nms_sorted_mask_pallas(boxes_sorted: jnp.ndarray,
                            interpret: bool = False) -> jnp.ndarray:
     """Keep mask (in sorted order) for score-descending boxes (N, 4)."""
     n = boxes_sorted.shape[0]
-    n_pad = -(-n // CHUNK) * CHUNK   # CHUNK-divisible (also BLOCK-divisible)
-    bt = jnp.pad(boxes_sorted.astype(jnp.float32).T,
-                 ((0, 0), (0, n_pad - n)))            # (4, n_pad)
+    pad_to = max(BLOCK, CHUNK)
+    n_pad = -(-n // pad_to) * pad_to
+    bf = boxes_sorted.astype(jnp.float32)
+    rows = jnp.pad(bf.T, ((0, 0), (0, n_pad - n)))      # (4, n_pad)
+    cols = jnp.pad(bf, ((0, n_pad - n), (0, 0)))        # (n_pad, 4)
     v = jnp.pad(valid_sorted.astype(jnp.float32),
                 (0, n_pad - n)).reshape(1, n_pad)
     keep = pl.pallas_call(
@@ -158,10 +207,13 @@ def nms_sorted_mask_pallas(boxes_sorted: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         grid=(n_pad // BLOCK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32),
+                        pltpu.VMEM((1, n_pad), jnp.float32),
+                        pltpu.VMEM((BLOCK, BLOCK), jnp.float32),
                         pltpu.VMEM((BLOCK, BLOCK), jnp.float32)],
         interpret=interpret,
-    )(bt, v)
+    )(rows, cols, v)
     return keep[0, :n] > 0.5

@@ -1,0 +1,93 @@
+"""Honest Pallas-NMS microbenchmark on the real TPU.
+
+Methodology notes (both matter on the tunneled axon runtime):
+* `jax.block_until_ready` does NOT reliably await the dispatch queue and
+  independent dispatches overlap host-side — naive timing loops read
+  2-10x too fast. Each measured call must DEPEND on the previous one, so
+  the whole chain is built as one `lax.scan` whose carry threads a
+  keep-derived epsilon into the next iteration's boxes.
+* one host fetch costs a tunnel round-trip (~35 ms); the chain must be
+  long enough to amortize it, and the printed per-call figure subtracts
+  the separately-measured RTT.
+
+Run: python scripts/bench_nms.py  (~3 min incl. compiles)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import afan.ops.kernels.nms_kernel as K
+
+N = 12000       # the training-path pre-NMS top-k (`FRCNNConfig`)
+ITERS = 64
+
+
+def make(seed, clustered=False):
+    rng = np.random.RandomState(seed)
+    if clustered:  # trained-RPN-like: boxes piled on ~30 object centers
+        centers = rng.rand(30, 2) * [1008, 608]
+        pick = rng.randint(0, 30, N)
+        cx = centers[pick, 0] + rng.randn(N) * 30
+        cy = centers[pick, 1] + rng.randn(N) * 30
+        bw = rng.gamma(4.0, 30.0, N) + 16
+        bh = rng.gamma(4.0, 30.0, N) + 16
+    else:          # early-training-like: near-uniform
+        cx = rng.rand(N) * 1008
+        cy = rng.rand(N) * 608
+        bw = rng.gamma(2.0, 60.0, N) + 8
+        bh = rng.gamma(2.0, 60.0, N) + 8
+    b = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                 1).astype(np.float32)
+    s = rng.rand(N).astype(np.float32)
+    return jnp.asarray(b[np.argsort(-s)])
+
+
+def measure_rtt():
+    x = jnp.ones((8, 128))
+    f = jax.jit(lambda x: x.sum())
+    float(f(x))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(bs, rtt, label):
+    valid = jnp.ones((N,), bool)
+
+    @jax.jit
+    def chained(bs):
+        def body(carry, _):
+            boxes, acc = carry
+            keep = K.nms_sorted_mask_pallas(boxes, valid, 0.7)
+            eps = (keep[0].astype(jnp.float32) - 0.5) * 1e-6
+            return (boxes + eps, acc + keep.sum()), None
+
+        (_, acc), _ = jax.lax.scan(body, (bs, jnp.zeros((), jnp.float32)),
+                                   None, length=ITERS)
+        return acc
+
+    kept = float(chained(bs)) / ITERS
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(bs))
+        best = min(best, (time.perf_counter() - t0))
+    per_call = (best - rtt) / ITERS
+    print(f"{label}: {per_call*1e3:6.3f} ms/call  (mean kept {kept:.0f}/{N})")
+    return per_call
+
+
+if __name__ == "__main__":
+    rtt = measure_rtt()
+    print(f"tunnel RTT (subtracted): {rtt*1e3:.1f} ms")
+    bench(make(0), rtt, "uniform  ")
+    bench(make(7, clustered=True), rtt, "clustered")
