@@ -1,8 +1,9 @@
 """Segmentation data pipelines: VOC2012(+SBD aug) and Cityscapes.
 
-Behavioral port of `Segmentation/datasets/{voc,cityscapes}.py`,
-`Segmentation/utils/ext_transforms.py` (the paired image+label transforms
-actually used by the drivers, `args.py:109-164`):
+Behavioral port of `Segmentation/datasets/{voc,cityscapes}.py`. The paired
+image+label transforms live in :mod:`afan.data.ext_transforms` (the FULL
+`Segmentation/utils/ext_transforms.py` surface); the driver pipelines
+(`args.py:109-164`) are:
 
 * VOC train: ExtRandomScale(0.5-2.0) + ExtRandomCrop(crop, pad_if_needed,
   label pad = 255) + ExtRandomHorizontalFlip;
@@ -89,44 +90,23 @@ def _synth_pair(seed: int, num_classes: int, size) -> Tuple[np.ndarray, np.ndarr
 
 
 def random_scale(img, lab, rng, lo=0.5, hi=2.0):
-    """ExtRandomScale (`ext_transforms.py`): same random scale for image
-    (bilinear) and label (nearest)."""
-    from PIL import Image
-    s = rng.uniform(lo, hi)
-    h, w = lab.shape
-    nh, nw = int(h * s), int(w * s)
-    im = Image.fromarray((img * 255).astype(np.uint8)).resize(
-        (nw, nh), Image.BILINEAR)
-    lm = Image.fromarray(lab.astype(np.uint8) if lab.max() < 256 else lab
-                         ).resize((nw, nh), Image.NEAREST)
-    return (np.asarray(im, np.float32) / 255.0,
-            np.asarray(lm, np.int32))
+    """ExtRandomScale — thin wrapper over :mod:`.ext_transforms`."""
+    from .ext_transforms import ExtRandomScale
+    return ExtRandomScale((lo, hi))(img, lab, rng)
 
 
 def random_crop(img, lab, rng, size: int, pad_if_needed: bool = True):
-    """ExtRandomCrop with pad_if_needed: image zero-pad, label 255-pad."""
-    h, w = lab.shape
-    if pad_if_needed and (h < size or w < size):
-        ph, pw = max(size - h, 0), max(size - w, 0)
-        img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
-        lab = np.pad(lab, ((0, ph), (0, pw)), constant_values=IGNORE)
-        h, w = lab.shape
-    y = rng.randint(0, h - size + 1)
-    x = rng.randint(0, w - size + 1)
-    return img[y:y + size, x:x + size], lab[y:y + size, x:x + size]
+    """ExtRandomCrop — thin wrapper over :mod:`.ext_transforms`."""
+    from .ext_transforms import ExtRandomCrop
+    return ExtRandomCrop(size, pad_if_needed=pad_if_needed)(img, lab, rng)
 
 
 def color_jitter(img, rng, brightness=0.5, contrast=0.5, saturation=0.5):
-    """ExtColorJitter(.5,.5,.5) equivalent on a float image."""
-    b = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-    img = img * b
-    c = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-    mean = img.mean()
-    img = (img - mean) * c + mean
-    s = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-    gray = img.mean(axis=-1, keepdims=True)
-    img = (img - gray) * s + gray
-    return np.clip(img, 0.0, 1.0)
+    """ExtColorJitter — thin wrapper over :mod:`.ext_transforms`."""
+    from .ext_transforms import ExtColorJitter
+    out, _ = ExtColorJitter(brightness, contrast, saturation)(
+        img, np.zeros(img.shape[:2], np.int32), rng)
+    return out
 
 
 class SegLoader:
@@ -142,6 +122,11 @@ class SegLoader:
         self.dataset = dataset
         self.rng = np.random.RandomState(seed)
         self.eval_canvas = eval_canvas
+        from .ext_transforms import (cityscapes_train_transform,
+                                     voc_train_transform)
+        self.transform = (voc_train_transform(crop_size)
+                          if dataset == "voc"
+                          else cityscapes_train_transform(crop_size))
 
     def __len__(self):
         n = len(self.samples)
@@ -151,14 +136,7 @@ class SegLoader:
     def _train_item(self, s: SegSample):
         img, lab = _load_pair(s, self.num_classes,
                               size=(self.crop, self.crop))
-        if self.dataset == "voc":
-            img, lab = random_scale(img, lab, self.rng)
-        elif self.dataset == "cityscapes":
-            img = color_jitter(img, self.rng)
-        img, lab = random_crop(img, lab, self.rng, self.crop)
-        if self.rng.rand() < 0.5:
-            img, lab = img[:, ::-1].copy(), lab[:, ::-1].copy()
-        return img, lab
+        return self.transform(img, lab, self.rng)
 
     def _eval_item(self, s: SegSample):
         img, lab = _load_pair(s, self.num_classes,
