@@ -46,10 +46,9 @@ def build_state(args, num_classes: int = 21):
     return model, state, (h, w)
 
 
-def detect_image(detect_fn, state, canvas_hw, img: np.ndarray,
-                 min_side: float, max_side: float, prob_thresh: float
-                 ) -> List[Tuple[np.ndarray, int, float]]:
-    """img: float32 [0,1] HWC → [(box_xyxy_in_orig_coords, class, prob)]."""
+def preprocess_frame(img: np.ndarray, canvas_hw, min_side: float,
+                     max_side: float) -> Tuple[np.ndarray, float]:
+    """Resize-rule + paste onto the static canvas → (canvas, scale)."""
     h0, w0 = img.shape[:2]
     scale = compute_scale(w0, h0, min_side, max_side)
     resized = resize_image(img, scale)
@@ -57,14 +56,34 @@ def detect_image(detect_fn, state, canvas_hw, img: np.ndarray,
     canvas = np.zeros((ch, cw, 3), np.float32)
     rh, rw = min(resized.shape[0], ch), min(resized.shape[1], cw)
     canvas[:rh, :rw] = resized[:rh, :rw]
-    boxes, probs, keep = detect_fn(state, jnp.asarray(canvas[None]))
+    return canvas, scale
+
+
+def detect_batch(detect_fn, state, canvases: np.ndarray,
+                 scales: List[float], prob_thresh: float
+                 ) -> List[List[Tuple[np.ndarray, int, float]]]:
+    """Batched detect on pre-canvased frames → per-frame detection lists
+    (boxes rescaled to each frame's original coordinates)."""
+    boxes, probs, keep = detect_fn(state, jnp.asarray(canvases))
     boxes, probs, keep = map(np.asarray, (boxes, probs, keep))
-    out = []
-    sel = np.nonzero(keep[0] & (probs[0] > prob_thresh))
-    for p_idx, c in zip(*sel):
-        out.append((boxes[0, p_idx, c] / scale, int(c),
-                    float(probs[0, p_idx, c])))
-    return out
+    results = []
+    for b, scale in enumerate(scales):
+        out = []
+        sel = np.nonzero(keep[b] & (probs[b] > prob_thresh))
+        for p_idx, c in zip(*sel):
+            out.append((boxes[b, p_idx, c] / scale, int(c),
+                        float(probs[b, p_idx, c])))
+        results.append(out)
+    return results
+
+
+def detect_image(detect_fn, state, canvas_hw, img: np.ndarray,
+                 min_side: float, max_side: float, prob_thresh: float
+                 ) -> List[Tuple[np.ndarray, int, float]]:
+    """img: float32 [0,1] HWC → [(box_xyxy_in_orig_coords, class, prob)]."""
+    canvas, scale = preprocess_frame(img, canvas_hw, min_side, max_side)
+    return detect_batch(detect_fn, state, canvas[None], [scale],
+                        prob_thresh)[0]
 
 
 def draw(img: np.ndarray, detections, class_names=VOC_CLASSES) -> np.ndarray:
