@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.nms import nms_padded
+from ...ops.nms import nms_select_presorted
 from . import boxes as B
 from .sampling import SampleResult, beta_smooth_l1, masked_mean, sample_fg_bg
 
@@ -137,9 +137,7 @@ def generate_proposals(anchors: jnp.ndarray, objectness: jnp.ndarray,
     proposals = B.clip(proposals, 0, 0, image_width, image_height)
     scores = objectness[:, 1]  # raw logit; same ranking as the softmax quirk
     k = min(pre_nms_top_n, anchors.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    _, top_idx = jax.lax.top_k(scores, k)   # top_k output is score-sorted
     top_boxes = proposals[top_idx]
-    keep_idx, keep_mask = nms_padded(top_boxes, top_scores, 0.7,
-                                     post_nms_top_n, plus_one=True)
-    out = jnp.where(keep_mask[:, None], top_boxes[keep_idx], 0.0)
-    return out, keep_mask
+    return nms_select_presorted(top_boxes, 0.7, post_nms_top_n,
+                                plus_one=True)

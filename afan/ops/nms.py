@@ -126,6 +126,49 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, threshold: float,
     return keep
 
 
+def nms_mask_presorted(boxes_sorted: jnp.ndarray, threshold: float,
+                       valid_sorted: Optional[jnp.ndarray] = None,
+                       plus_one: bool = True,
+                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Keep mask for boxes ALREADY in score-descending order.
+
+    `lax.top_k` returns its values sorted, so callers that just top-k'd
+    (the RPN proposal path) can skip :func:`nms_mask`'s argsort entirely —
+    one of three sort-sized ops in the reference proposal pipeline
+    (`region_proposal_network.py:246-258`), all materially expensive on
+    TPU."""
+    n = boxes_sorted.shape[0]
+    if valid_sorted is None:
+        valid_sorted = jnp.ones((n,), bool)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and n >= 1024
+    if use_pallas:
+        from .kernels.nms_kernel import nms_sorted_mask_pallas
+        return nms_sorted_mask_pallas(boxes_sorted, valid_sorted, threshold,
+                                      plus_one=plus_one)
+    iou = pairwise_iou(boxes_sorted, boxes_sorted, plus_one=plus_one)
+    return _greedy_suppress(iou, valid_sorted, threshold)
+
+
+def nms_select_presorted(boxes_sorted: jnp.ndarray, threshold: float,
+                         max_output_size: int, plus_one: bool = True
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NMS on score-sorted boxes → the first ``max_output_size`` kept
+    boxes (still score-sorted, zero-padded) + validity mask.
+
+    The rank of each kept box is a cumsum over the keep mask, so the
+    selection is one O(N) scan + scatter instead of the extra
+    ``top_k``-sized sort :func:`nms_padded` pays. Output is identical."""
+    keep = nms_mask_presorted(boxes_sorted, threshold, plus_one=plus_one)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    sel = keep & (rank < max_output_size)
+    tgt = jnp.where(sel, rank, max_output_size)   # overflow -> dump slot
+    out = jnp.zeros((max_output_size + 1, 4),
+                    boxes_sorted.dtype).at[tgt].set(boxes_sorted)
+    valid = jnp.zeros((max_output_size + 1,), bool).at[tgt].set(sel)
+    return out[:max_output_size], valid[:max_output_size]
+
+
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, threshold: float,
                max_output_size: int, valid: Optional[jnp.ndarray] = None,
                plus_one: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -90,6 +90,23 @@ class TestNMSParity:
         assert (np.diff(s) <= 1e-7).all()
         assert (np.asarray(idx)[~np.asarray(mask)] == -1).all()
 
+    @pytest.mark.parametrize("n,post_n,seed", [(200, 50, 7), (80, 100, 8),
+                                               (300, 300, 9)])
+    def test_select_presorted_matches_padded(self, n, post_n, seed):
+        """The proposal-path fast selection (cumsum rank instead of a
+        second top_k) must produce byte-identical padded outputs."""
+        from afan.ops.nms import nms_select_presorted
+        boxes, scores = random_boxes(n, seed=seed)
+        order = np.argsort(-scores)
+        bs = jnp.asarray(boxes[order])
+        ss = jnp.asarray(scores[order])
+        idx, mask = nms_padded(bs, ss, 0.5, post_n)
+        want = np.where(np.asarray(mask)[:, None],
+                        np.asarray(bs)[np.asarray(idx)], 0.0)
+        got, valid = nms_select_presorted(bs, 0.5, post_n)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(mask))
+
 
 class TestIoU:
     def test_pairwise_matches_manual(self):
