@@ -14,3 +14,11 @@ program per tap configuration.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: identical programs reload in seconds
+# across processes instead of paying 10-25 min recompiles (1-core host,
+# remote TPU compile). Opt out with AFAN_NO_COMPILE_CACHE=1.
+from .utils.compilation_cache import enable_persistent_cache as _epc
+
+_epc()
+del _epc
