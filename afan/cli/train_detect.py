@@ -101,6 +101,10 @@ def get_parser():
                         "and reuse across all tail forwards (-27%% step "
                         "time; the reference resamples per forward)")
     # TPU-era additions
+    p.add_argument("--unfreeze_backbone", action="store_true",
+                   help="train stem/layer1/BN-affine too — needed for "
+                        "FROM-SCRATCH training (the reference always "
+                        "ImageNet-inits and freezes them)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=0,
@@ -180,7 +184,8 @@ def main(argv=None):
     schedule = warmup_multistep_schedule(
         args.learning_rate, ast.literal_eval(args.step_lr_sizes),
         args.step_lr_gamma, args.warm_up_factor, args.warm_up_num_iters)
-    tx = detection_tx(schedule, args.momentum, args.weight_decay)
+    tx = detection_tx(schedule, args.momentum, args.weight_decay,
+                      freeze=not args.unfreeze_backbone)
 
     # init from one batch's shapes
     first = next(iter(train_loader))

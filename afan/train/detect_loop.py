@@ -56,8 +56,15 @@ def detection_param_labels(params) -> Any:
 
 
 def detection_tx(schedule, momentum: float = 0.9,
-                 weight_decay: float = 0.0005) -> optax.GradientTransformation:
+                 weight_decay: float = 0.0005, freeze: bool = True
+                 ) -> optax.GradientTransformation:
+    """``freeze=True`` reproduces the reference's stem+layer1+BN freeze
+    (it always starts from ImageNet weights). ``freeze=False`` trains
+    everything — required for meaningful FROM-SCRATCH training, which the
+    reference never does (BN stays frozen structurally either way)."""
     from .optim import sgd
+    if not freeze:
+        return sgd(schedule, momentum, weight_decay)
     return optax.multi_transform(
         {"train": sgd(schedule, momentum, weight_decay),
          "frozen": optax.set_to_zero()},
