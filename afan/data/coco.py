@@ -39,10 +39,28 @@ SUBSETS = {"coco2017": None, "coco2017person": PERSON_IDS,
 
 
 def load_coco_samples(ann_path: str, image_dir: str,
-                      keep_ids: Optional[Sequence[int]] = None
-                      ) -> Tuple[List[DetSample], int]:
+                      keep_ids: Optional[Sequence[int]] = None,
+                      use_cache: bool = True) -> Tuple[List[DetSample], int]:
     """Parse a COCO instances json into DetSamples. Returns (samples,
-    num_classes incl. background)."""
+    num_classes incl. background).
+
+    Parsed samples are pickle-cached beside the annotation file (the
+    reference does the same for its processed annotations,
+    `Detection/dataset/coco2017.py` pickle caching) — the instances json
+    is ~450 MB and re-parsing it per run dominates startup."""
+    import pickle
+    cache_path = None
+    if use_cache:
+        tag = "all" if keep_ids is None else "-".join(map(str, keep_ids))
+        cache_path = f"{ann_path}.afan_cache_{tag}.pkl"
+        try:
+            if (os.path.exists(cache_path)
+                    and os.path.getmtime(cache_path)
+                    >= os.path.getmtime(ann_path)):
+                with open(cache_path, "rb") as f:
+                    return pickle.load(f)
+        except Exception:
+            pass  # unreadable/stale cache: fall through to a fresh parse
     with open(ann_path) as f:
         coco = json.load(f)
     if keep_ids is not None:
@@ -78,6 +96,12 @@ def load_coco_samples(ann_path: str, image_dir: str,
             width=im["width"], height=im["height"],
             boxes=np.asarray(boxes, np.float32),
             labels=np.asarray(labels, np.int64)))
+    if cache_path is not None:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump((samples, num_classes), f)
+        except OSError:
+            pass  # read-only data dir: skip caching
     return samples, num_classes
 
 

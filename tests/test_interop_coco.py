@@ -153,6 +153,32 @@ class TestCocoLoader:
         assert nc == 11
         assert samples[0].labels.tolist() == [2]
 
+    def test_pickle_cache_roundtrip(self, tmp_path):
+        import json
+        from afan.data.coco import load_coco_samples
+        ann = {"images": [{"id": 1, "file_name": "a.jpg", "width": 50,
+                           "height": 50}],
+               "annotations": [
+                   {"image_id": 1, "category_id": 2, "bbox": [0, 0, 10, 10],
+                    "iscrowd": 0}],
+               "categories": []}
+        path = tmp_path / "inst.json"
+        path.write_text(json.dumps(ann))
+        s1, nc1 = load_coco_samples(str(path), "/img")
+        caches = list(tmp_path.glob("*.afan_cache_*.pkl"))
+        assert len(caches) == 1
+        # second load comes from the cache and matches
+        s2, nc2 = load_coco_samples(str(path), "/img")
+        assert nc2 == nc1 and len(s2) == len(s1)
+        np.testing.assert_array_equal(s2[0].boxes, s1[0].boxes)
+        # rewriting the json invalidates the cache (mtime check)
+        import os as _os
+        _os.utime(str(path), None)
+        ann["annotations"][0]["bbox"] = [5, 5, 10, 10]
+        path.write_text(json.dumps(ann))
+        s3, _ = load_coco_samples(str(path), "/img")
+        np.testing.assert_allclose(s3[0].boxes, [[5, 5, 15, 15]])
+
 
 class TestTorchInterop:
     def test_resnet_s_roundtrip(self, tmp_path):
