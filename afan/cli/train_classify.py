@@ -67,6 +67,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps", default=2.0, type=float)
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
+    # technique flags beyond the reference (PAPERS.md)
+    p.add_argument("--pgd_step_mode", choices=["sign", "grad"],
+                   default="sign",
+                   help="'grad' = normalized raw-gradient steps "
+                        "(arxiv 2312.01260)")
+    p.add_argument("--pgd_random_steps", action="store_true",
+                   help="per-step random step size in (0, 2*gamma) "
+                        "(WITCHcraft, arxiv 1911.07989)")
     # ETA (`main_learnable.py:52-55`)
     p.add_argument("--w_lr", default=0.01, type=float)
     p.add_argument("--init_weight", default=1.0 / 9, type=float)
@@ -169,7 +177,9 @@ def main(argv=None):
     elif args.mode == "alfa":
         cfg = AlfaConfig(tap=args.perturb_idx, steps=args.steps,
                          gamma=args.gamma / 255, eps=args.eps / 255,
-                         randinit=args.randinit, clip=args.clip)
+                         randinit=args.randinit, clip=args.clip,
+                         step_mode=args.pgd_step_mode,
+                         random_steps=args.pgd_random_steps)
         if device_data and args.epoch_scan:
             train_step = None  # whole-epoch program built below
         elif device_data:

@@ -58,18 +58,31 @@ def pgd(
     randinit: bool = False,
     clip: bool = False,
     rng: Optional[jax.Array] = None,
+    step_mode: str = "sign",
+    random_steps: bool = False,
 ) -> jnp.ndarray:
-    """k-step sign-gradient ascent on ``x`` maximizing ``loss_fn``.
+    """k-step gradient ascent on ``x`` maximizing ``loss_fn``.
 
     ``x`` is treated as a constant (the reference detaches the tapped
     feature before attacking it); the returned adversarial tensor carries no
     gradient back to ``x``'s producer — callers should
     ``jax.lax.stop_gradient`` the input feature, as all drivers here do.
 
-    Step order matches the reference exactly: grad → ``+= gamma * sign`` →
-    optional L∞ projection onto the eps-ball around the ORIGINAL ``x``
-    (`Classification/attack_algo.py:47-56`).
+    Default step order matches the reference exactly: grad →
+    ``+= gamma * sign`` → optional L∞ projection onto the eps-ball around
+    the ORIGINAL ``x`` (`Classification/attack_algo.py:47-56`).
+
+    Technique flags beyond the reference (both default OFF; see PAPERS.md):
+    * ``step_mode='grad'`` — raw-gradient direction, normalized per sample
+      to unit L∞ so the step magnitude stays comparable to sign steps
+      ("Rethinking PGD Attack: Is Sign Function Necessary?",
+      arxiv 2312.01260);
+    * ``random_steps=True`` — per-step step size drawn uniformly from
+      ``(0, 2*gamma)`` (mean ``gamma``; WITCHcraft, arxiv 1911.07989).
+      Requires ``rng``.
     """
+    if step_mode not in ("sign", "grad"):
+        raise ValueError(f"unknown step_mode {step_mode!r}")
     x0 = x
     if randinit:
         if rng is None:
@@ -80,16 +93,34 @@ def pgd(
 
     grad_fn = jax.grad(loss_fn)
 
-    def body(x_adv, _):
+    if random_steps:
+        if rng is None:
+            raise ValueError("random_steps=True requires an rng key")
+        gammas = 2.0 * gamma * jax.random.uniform(
+            jax.random.fold_in(rng, 0x57C4), (steps,), x.dtype)
+    else:
+        gammas = jnp.full((steps,), gamma, x.dtype)
+
+    def direction(g):
+        if step_mode == "sign":
+            return jnp.sign(g)
+        flat = jnp.abs(g).reshape(g.shape[0], -1) if g.ndim > 1 else \
+            jnp.abs(g).reshape(1, -1)
+        gmax = jnp.max(flat, axis=1)
+        gmax = gmax.reshape((-1,) + (1,) * (g.ndim - 1)) if g.ndim > 1 \
+            else gmax
+        return g / jnp.maximum(gmax, 1e-12)
+
+    def body(x_adv, gamma_t):
         g = grad_fn(x_adv)
-        x_adv = x_adv + gamma * jnp.sign(g)
+        x_adv = x_adv + gamma_t * direction(g)
         if clip:
             if eps is None:
                 raise ValueError("clip=True requires eps")
             x_adv = linfball_proj(x, eps, x_adv)
         return x_adv, None
 
-    x_adv, _ = jax.lax.scan(body, x0, None, length=steps)
+    x_adv, _ = jax.lax.scan(body, x0, gammas)
     return x_adv
 
 

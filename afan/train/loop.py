@@ -78,6 +78,9 @@ class AlfaConfig:
     eps: float = 2.0 / 255
     randinit: bool = False
     clip: bool = False
+    # technique flags beyond the reference (PAPERS.md; core/attack.py)
+    step_mode: str = "sign"       # 'sign' | 'grad'
+    random_steps: bool = False    # WITCHcraft per-step random step size
 
 
 def make_base_step(model, tx: optax.GradientTransformation):
@@ -131,7 +134,8 @@ def make_alfa_step(model, tx: optax.GradientTransformation, cfg: AlfaConfig,
 
         feat_adv = pgd(tail_loss, feat, steps=cfg.steps, gamma=cfg.gamma,
                        eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
-                       rng=rng)
+                       rng=rng, step_mode=cfg.step_mode,
+                       random_steps=cfg.random_steps)
         feat_adv = jax.lax.stop_gradient(feat_adv)
         norm_l2, norm_linf = perturbation_norms(feat, feat_adv)
 

@@ -173,6 +173,42 @@ class TestPGD:
         assert float(jnp.max(jnp.abs(adv))) <= 0.25
         assert float(jnp.std(adv)) > 0.05  # actually random
 
+    def test_grad_step_mode_normalized(self):
+        # batchless: loss = w.x → dir = w / max|w|; 2 steps of gamma
+        w = jnp.asarray([1.0, -2.0, 0.5, -0.1])
+        x = jnp.zeros((4,))
+        adv = pgd(lambda z: jnp.sum(w * z), x, steps=2, gamma=0.01,
+                  step_mode="grad")
+        np.testing.assert_allclose(np.asarray(adv),
+                                   0.02 * np.asarray(w) / 2.0, rtol=1e-5)
+        # batched: per-sample normalization
+        wb = jnp.asarray([[2.0, 1.0], [0.5, -0.25]])
+        xb = jnp.zeros((2, 2))
+        advb = pgd(lambda z: jnp.sum(wb * z), xb, steps=1, gamma=0.1,
+                   step_mode="grad")
+        np.testing.assert_allclose(
+            np.asarray(advb), [[0.1, 0.05], [0.1, -0.05]], rtol=1e-5)
+
+    def test_random_steps_mean_and_determinism(self):
+        w = jnp.ones((8,))
+        x = jnp.zeros((8,))
+        k = jax.random.PRNGKey(3)
+        a1 = pgd(lambda z: jnp.sum(w * z), x, steps=50, gamma=0.01,
+                 random_steps=True, rng=k)
+        a2 = pgd(lambda z: jnp.sum(w * z), x, steps=50, gamma=0.01,
+                 random_steps=True, rng=k)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        # 50 uniform(0, .02) steps → total displacement ~ 50 * 0.01
+        total = float(a1[0])
+        assert 0.35 < total < 0.65
+        fixed = pgd(lambda z: jnp.sum(w * z), x, steps=50, gamma=0.01)
+        assert not np.allclose(np.asarray(a1), np.asarray(fixed))
+
+    def test_bad_step_mode_raises(self):
+        with pytest.raises(ValueError):
+            pgd(lambda z: jnp.sum(z), jnp.zeros((2,)), steps=1, gamma=0.1,
+                step_mode="nope")
+
     def test_input_pgd_clamps_01(self):
         x = jnp.full((4,), 0.99)
         adv = input_pgd(lambda z: jnp.sum(z), x, steps=5, gamma=0.1)
