@@ -96,10 +96,13 @@ def get_parser():
     p.add_argument("--steps", type=int, default=1)
     p.add_argument("--loss_settings", type=int, default=1,
                    help="SAT weight preset 1-4 (train_aug_sat_advt.py)")
-    p.add_argument("--share_proposals", action="store_true",
-                   help="fast path: sample anchors/proposals once per step "
-                        "and reuse across all tail forwards (-27%% step "
-                        "time; the reference resamples per forward)")
+    p.add_argument("--share_proposals", action="store_true", default=True,
+                   help="fast path (default): sample anchors/proposals once "
+                        "per step and reuse across all tail forwards "
+                        "(-25%% step time; measured mAP parity, PARITY.md)")
+    p.add_argument("--no_share_proposals", dest="share_proposals",
+                   action="store_false",
+                   help="reference-exact trajectory: resample per forward")
     # TPU-era additions
     p.add_argument("--unfreeze_backbone", action="store_true",
                    help="train stem/layer1/BN-affine too — needed for "

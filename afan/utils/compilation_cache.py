@@ -18,6 +18,14 @@ def enable_persistent_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # CPU-only processes (the test mesh) skip the cache: XLA:CPU AOT
+    # results are machine-feature-specific and a cached executable from a
+    # different host profile can SIGILL (observed warning in the dryrun).
+    # TPU executables are keyed by topology and safe to reuse.
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if platforms.strip() == "cpu":
+        return
+
     cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/afan_xla"))
     try:
