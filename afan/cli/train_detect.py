@@ -103,6 +103,10 @@ def get_parser():
     p.add_argument("--no_share_proposals", dest="share_proposals",
                    action="store_false",
                    help="reference-exact trajectory: resample per forward")
+    p.add_argument("--remat_tails", action="store_true", default=False,
+                   help="jax.checkpoint the spectrum tails (trade ~15%% "
+                        "step time for activation memory; needed only for "
+                        "batch/canvas beyond the stock recipes)")
     # TPU-era additions
     p.add_argument("--unfreeze_backbone", action="store_true",
                    help="train stem/layer1/BN-affine too — needed for "
@@ -159,7 +163,8 @@ def afan_config_for(args) -> DetAfanConfig:
         noise_sd=args.noise_sd, sd_weight=args.sd_adv_loss_weight,
         steps=args.steps, randinit=args.randinit, clip=args.clip,
         weight_mode=weight_mode, loss_setting=args.loss_settings,
-        input_adv=input_adv, share_proposals=args.share_proposals)
+        input_adv=input_adv, share_proposals=args.share_proposals,
+        remat_tails=args.remat_tails)
 
 
 def main(argv=None):

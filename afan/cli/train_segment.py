@@ -84,6 +84,10 @@ def get_parser():
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
     # TPU-era
+    p.add_argument("--remat_tails", action="store_true", default=False,
+                   help="jax.checkpoint the spectrum tails (memory for "
+                        "~6%% step time; only needed beyond the stock "
+                        "crop/batch recipes)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--limit_itrs", type=int, default=0)
@@ -189,7 +193,7 @@ def main(argv=None):
             noise_sd=args.noise_sd, randinit=args.randinit, clip=args.clip,
             use_focal=args.loss_type == "focal_loss",
             weight_mode=weight_mode, loss_setting=args.loss_settings,
-            input_adv=input_adv)
+            input_adv=input_adv, remat_tails=args.remat_tails)
         step = make_afan_seg_step(model, tx, cfg)
     eval_step = make_seg_eval_step(model, num_classes)
 

@@ -153,7 +153,11 @@ class DetAfanConfig:
     eps: float = 2.0 / 255
     randinit: bool = False
     clip: bool = False
-    remat_tails: bool = True          # jax.checkpoint the spectrum tails
+    # jax.checkpoint the spectrum tails. Default OFF since share_proposals
+    # + the separable-contraction ROIAlign freed enough HBM: measured
+    # 113 -> 95 ms (VOC b2 608x1008) and 80 -> 69 ms (COCO b1 800x1344,
+    # 92 classes) with no OOM. Turn ON for larger batch/canvas.
+    remat_tails: bool = False
     # loss combination mode:
     #   'final'      — the flagship rule (`train_aug_final.py:156`)
     #   'sat_preset' — the SAT loss_settings presets

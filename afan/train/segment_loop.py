@@ -92,7 +92,10 @@ class SegAfanConfig:
     randinit: bool = False
     clip: bool = False
     use_focal: bool = False
-    remat_tails: bool = True
+    # jax.checkpoint the spectrum tails. Default OFF — measured fits +
+    # wins without it: 163 -> 153 ms (512 crop b4), 485 -> 464 ms
+    # (Cityscapes 768 crop b4). Turn ON for larger batch/crop.
+    remat_tails: bool = False
     # 'final' (.7/.1 rule) | 'sat_preset' (`main_aug_sat_advt.py:189-200`:
     # 1 mean, 2: .5/.25, 3: .8/.1, 4: .9/.05) | 'multi_preset'
     # (`main_aug_muti_advt.py`: 1: .8 l0 + .04 others, 2: .6/.08)
