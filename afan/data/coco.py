@@ -6,8 +6,10 @@ Conventions preserved from the reference:
 * the 92-entry background-indexed label map (91 COCO category slots incl.
   the unused 'street sign'-style ids, `coco2017.py:39-59`) — raw COCO
   category_id maps 1:1 onto the label index;
-* crowd annotations excluded from training (the reference drops them when
-  building its annotation dict);
+* crowd annotations excluded from training targets (the reference drops
+  them when building its annotation dict) but kept on the sample as
+  crowd_boxes/crowd_labels, because COCOeval treats iscrowd gt as ignore
+  regions at eval time (`coco2017.py:160-171` → pycocotools semantics);
 * train-time random horizontal flip with box flip (`coco2017.py:150-153`);
 * COCO recipe geometry (min/max side 800/1333) comes from the run scripts.
 
@@ -48,11 +50,15 @@ def load_coco_samples(ann_path: str, image_dir: str,
     reference does the same for its processed annotations,
     `Detection/dataset/coco2017.py` pickle caching) — the instances json
     is ~450 MB and re-parsing it per run dominates startup."""
+    import hashlib
     import pickle
     cache_path = None
     if use_cache:
         tag = "all" if keep_ids is None else "-".join(map(str, keep_ids))
-        cache_path = f"{ann_path}.afan_cache_{tag}.pkl"
+        # image_dir is baked into the cached DetSample.image_path values,
+        # so it must be part of the cache identity too
+        dir_tag = hashlib.sha1(image_dir.encode()).hexdigest()[:8]
+        cache_path = f"{ann_path}.afan_cache_{tag}_{dir_tag}.pkl"
         try:
             if (os.path.exists(cache_path)
                     and os.path.getmtime(cache_path)
@@ -71,31 +77,41 @@ def load_coco_samples(ann_path: str, image_dir: str,
         num_classes = NUM_COCO_CLASSES
 
     anns_by_image: Dict[int, list] = {}
+    crowds_by_image: Dict[int, list] = {}
     for a in coco["annotations"]:
-        if a.get("iscrowd", 0):
-            continue
         cid = a["category_id"]
         if remap is not None and cid not in remap:
             continue
-        anns_by_image.setdefault(a["image_id"], []).append(a)
+        if a.get("iscrowd", 0):
+            # kept for eval (crowd-ignore regions), excluded from training
+            crowds_by_image.setdefault(a["image_id"], []).append(a)
+        else:
+            anns_by_image.setdefault(a["image_id"], []).append(a)
 
-    samples = []
-    for im in coco["images"]:
-        anns = anns_by_image.get(im["id"], [])
-        if not anns:
-            continue  # reference trains on images with at least one object
+    def _to_arrays(anns):
         boxes, labels = [], []
         for a in anns:
             x, y, w, h = a["bbox"]  # COCO xywh → corners
             boxes.append([x, y, x + w, y + h])
             labels.append(remap[a["category_id"]] if remap
                           else a["category_id"])
+        return (np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(labels, np.int64))
+
+    samples = []
+    for im in coco["images"]:
+        anns = anns_by_image.get(im["id"], [])
+        if not anns:
+            continue  # reference trains on images with at least one object
+        boxes, labels = _to_arrays(anns)
+        crowd_boxes, crowd_labels = _to_arrays(
+            crowds_by_image.get(im["id"], []))
         samples.append(DetSample(
             image_id=str(im["id"]),
             image_path=os.path.join(image_dir, im["file_name"]),
             width=im["width"], height=im["height"],
-            boxes=np.asarray(boxes, np.float32),
-            labels=np.asarray(labels, np.int64)))
+            boxes=boxes, labels=labels,
+            crowd_boxes=crowd_boxes, crowd_labels=crowd_labels))
     if cache_path is not None:
         try:
             with open(cache_path, "wb") as f:

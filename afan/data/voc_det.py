@@ -53,6 +53,11 @@ class DetSample:
     eval_boxes: Optional[np.ndarray] = None
     eval_labels: Optional[np.ndarray] = None
     eval_difficult: Optional[np.ndarray] = None
+    # COCO iscrowd gt: excluded from training targets but kept for eval,
+    # where they act as per-class ignore regions (COCOeval semantics,
+    # `Detection/dataset/coco2017.py:160-171`)
+    crowd_boxes: Optional[np.ndarray] = None
+    crowd_labels: Optional[np.ndarray] = None
     synthetic_seed: Optional[int] = None
 
 

@@ -68,20 +68,26 @@ def _iou_matrix(d: np.ndarray, g: np.ndarray) -> np.ndarray:
 
 
 def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, thresholds,
-                 max_dets, area_rng):
+                 max_dets, area_rng, gt_crowd=None):
     """COCOeval evaluateImg matching for one (image, class, area range).
 
     gts are ordered non-ignored first (COCOeval sorts by _ignore); each
     det takes the unmatched gt of highest IoU >= t, falling back to an
-    ignored gt only when no valid gt qualifies. Returns (tp, dt_ig,
-    sorted_scores) each (T, D<=max_dets) / (D,).
+    ignored gt only when no valid gt qualifies. Crowd gt (iscrowd — always
+    ignored) use the crowd-modified IoU inter/area_det and, unlike normal
+    gt, may absorb any number of detections (pycocotools: a matched gt is
+    skipped only when ``not iscrowd``). Returns (tp, dt_ig, sorted_scores)
+    each (T, D<=max_dets) / (D,).
     """
     order = np.argsort(-det_scores, kind="stable")[:max_dets]
     d = det_boxes[order]
     scores = det_scores[order]
+    if gt_crowd is None:
+        gt_crowd = np.zeros(len(gt_boxes), bool)
     g_order = np.argsort(gt_ignore, kind="stable")
     g = gt_boxes[g_order]
     g_ig = gt_ignore[g_order]
+    g_cr = gt_crowd[g_order]
     T, D, G = len(thresholds), len(d), len(g)
     tp = np.zeros((T, D), bool)
     dt_ig = np.zeros((T, D), bool)
@@ -92,12 +98,22 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, thresholds,
         dt_ig[:] = d_out[None, :]
         return tp, dt_ig, scores
     ious = _iou_matrix(d, g)
+    if g_cr.any():
+        # crowd-modified IoU (maskUtils.iou with iscrowd=1): intersection
+        # over the DETECTION's area — a det fully inside a big crowd
+        # region scores 1.0 regardless of the crowd's size
+        lt = np.maximum(d[:, None, :2], g[None, :, :2])
+        rb = np.minimum(d[:, None, 2:], g[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        crowd_iou = inter / np.maximum(_area(d)[:, None], 1e-12)
+        ious = np.where(g_cr[None, :], crowd_iou, ious)
     for ti, t in enumerate(thresholds):
         taken = np.zeros(G, bool)
         for di in range(D):
             best, best_iou = -1, min(t, 1 - 1e-10)
             for gi in range(G):
-                if taken[gi]:
+                if taken[gi] and not g_cr[gi]:
                     continue
                 # gts sorted valid-first: once we hold a valid match,
                 # ignored gts can't improve it
@@ -122,11 +138,15 @@ def _in_range_mask(areas: np.ndarray, rng: Tuple[float, float]):
 def coco_eval_summary(num_classes: int,
                       gt: Dict[str, Tuple[np.ndarray, np.ndarray]],
                       det_image_ids: List[str], det_boxes: np.ndarray,
-                      det_classes: np.ndarray, det_probs: np.ndarray
+                      det_classes: np.ndarray, det_probs: np.ndarray,
+                      crowd: Dict[str, Tuple[np.ndarray, np.ndarray]] = None
                       ) -> Dict[str, float]:
     """Full 12-metric COCO bbox summary over classes 1..num_classes-1.
 
     ``gt``: image_id → (boxes (G,4) corners, labels (G,)).
+    ``crowd``: optional image_id → (boxes, labels) of iscrowd gt — ignore
+    regions per COCOeval (never in npos; dets over them are neither TP
+    nor FP).
     """
     det_classes = np.asarray(det_classes)
     det_probs = np.asarray(det_probs)
@@ -146,15 +166,23 @@ def coco_eval_summary(num_classes: int,
             npos = 0
             for image_id, (g_boxes, g_labels) in gt.items():
                 g = g_boxes[g_labels == c]
-                g_ig = ~_in_range_mask(_area(g), area_rng) if len(g) else \
-                    np.zeros(0, bool)
+                g_cr = np.zeros(len(g), bool)
+                if crowd is not None and image_id in crowd:
+                    cb, cl = crowd[image_id]
+                    cg = np.asarray(cb).reshape(-1, 4)[np.asarray(cl) == c]
+                    if len(cg):
+                        g = np.concatenate([g.reshape(-1, 4), cg])
+                        g_cr = np.concatenate(
+                            [g_cr, np.ones(len(cg), bool)])
+                g_ig = (~_in_range_mask(_area(g), area_rng) | g_cr) \
+                    if len(g) else np.zeros(0, bool)
                 npos += int((~g_ig).sum())
                 sel = class_sel & (det_image_ids == image_id)
                 if not sel.any():
                     continue
                 records.append(_match_image(det_boxes[sel], det_probs[sel],
                                             g, g_ig, IOU_THRESHOLDS,
-                                            MAX_DETS, area_rng))
+                                            MAX_DETS, area_rng, g_cr))
             per_class[c] = (records, npos)
         per_area[area_name] = per_class
 
@@ -228,12 +256,13 @@ def format_coco_summary(res: Dict[str, float]) -> str:
 def coco_bbox_ap(num_classes: int,
                  gt: Dict[str, Tuple[np.ndarray, np.ndarray]],
                  det_image_ids: List[str], det_boxes: np.ndarray,
-                 det_classes: np.ndarray, det_probs: np.ndarray
+                 det_classes: np.ndarray, det_probs: np.ndarray,
+                 crowd: Dict[str, Tuple[np.ndarray, np.ndarray]] = None
                  ) -> Dict[str, float]:
     """Back-compat wrapper: the full summary dict (superset of the old
     {'AP','AP50','AP75'} result)."""
     res = coco_eval_summary(num_classes, gt, det_image_ids, det_boxes,
-                            det_classes, det_probs)
+                            det_classes, det_probs, crowd=crowd)
     if res["AP"] < 0:
         return {k: 0.0 if v < 0 else v for k, v in res.items()}
     return res

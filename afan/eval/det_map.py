@@ -149,19 +149,26 @@ class DetectionEvaluator:
         all_classes: List[int] = []
         all_probs: List[float] = []
         gt = {}
+        id_chunks: List[List[str]] = []
+        box_chunks: List[np.ndarray] = []
+        cls_chunks: List[np.ndarray] = []
+        prob_chunks: List[np.ndarray] = []
         for batch in self.loader:
             boxes, probs, keep = self.detect_fn(state, batch.images)
             boxes = np.asarray(boxes)
             probs = np.asarray(probs)
             keep = np.asarray(keep)
-            for j, image_id in enumerate(batch.image_ids):
-                scale = batch.scales[j]
-                sel = np.nonzero(keep[j] & (probs[j] > self.PROB_THRESH))
-                for p_idx, c in zip(*sel):
-                    all_ids.append(image_id)
-                    all_boxes.append(boxes[j, p_idx, c] / scale)
-                    all_classes.append(int(c))
-                    all_probs.append(float(probs[j, p_idx, c]))
+            # one batched nonzero over the whole (B, P, C) mask — at COCO
+            # scale (5k x 300 x 92) the per-box python-loop version spent
+            # minutes in the interpreter
+            mask = keep & (probs > self.PROB_THRESH)
+            bsel, psel, csel = np.nonzero(mask)
+            scales = np.asarray(batch.scales, np.float64)[bsel]
+            id_chunks.append([batch.image_ids[b] for b in bsel])
+            box_chunks.append(boxes[bsel, psel, csel] / scales[:, None])
+            cls_chunks.append(csel)
+            prob_chunks.append(probs[bsel, psel, csel])
+        crowd = {}
         for s in self.loader.samples:
             if s.eval_boxes is not None:
                 gt[s.image_id] = (s.eval_boxes, s.eval_labels,
@@ -169,19 +176,23 @@ class DetectionEvaluator:
             else:
                 gt[s.image_id] = (s.boxes, s.labels,
                                   np.zeros(len(s.labels), bool))
+            if s.crowd_boxes is not None and len(s.crowd_boxes):
+                crowd[s.image_id] = (s.crowd_boxes, s.crowd_labels)
+        all_ids = [i for chunk in id_chunks for i in chunk]
         if not all_ids:
             return 0.0, "no detections"
-        boxes_arr = np.stack(all_boxes) if all_boxes else np.zeros((0, 4))
+        boxes_arr = np.concatenate(box_chunks).reshape(-1, 4)
+        classes_arr = np.concatenate(cls_chunks)
+        probs_arr = np.concatenate(prob_chunks)
         if self.protocol == "coco":
             from .coco_map import coco_bbox_ap, format_coco_summary
             gt_nodiff = {k: (b, l) for k, (b, l, _) in gt.items()}
             res = coco_bbox_ap(self.num_classes, gt_nodiff, all_ids,
-                               boxes_arr, np.asarray(all_classes),
-                               np.asarray(all_probs))
+                               boxes_arr, classes_arr, probs_arr,
+                               crowd=crowd or None)
             return res["AP"], format_coco_summary(res)
         mean_ap, aps = evaluate_detections(
             self.num_classes, gt, all_ids, boxes_arr,
-            np.asarray(all_classes), np.asarray(all_probs),
-            use_07_metric=self.use_07)
+            classes_arr, probs_arr, use_07_metric=self.use_07)
         detail = "\n".join(f"{c:d}: AP = {ap:.4f}" for c, ap in aps.items())
         return mean_ap, detail

@@ -113,6 +113,104 @@ class TestCocoSummary12:
         assert "maxDets=  1" in text and "area= small" in text
 
 
+class TestCocoCrowd:
+    """iscrowd gt are ignore regions under the crowd-modified IoU
+    (inter/area_det), per pycocotools COCOeval as run by
+    `Detection/dataset/coco2017.py:160-171`."""
+
+    def _base(self):
+        # one valid gt, perfectly detected at score .9
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        return gt
+
+    def test_det_over_crowd_neither_tp_nor_fp(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = self._base()
+        crowd = {"a": (np.asarray([[100., 100, 200, 200]]),
+                       np.asarray([1]))}
+        # second det sits fully inside the crowd region: ignored → AP
+        # stays perfect despite the "extra" detection
+        res = coco_bbox_ap(2, gt, ["a", "a"],
+                           np.asarray([[0., 0, 10, 10],
+                                       [120., 120, 140, 140]]),
+                           np.asarray([1, 1]), np.asarray([0.9, 0.95]),
+                           crowd=crowd)
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+        # contrast: without the crowd info the same det is a top-scored FP
+        res_no = coco_bbox_ap(2, gt, ["a", "a"],
+                              np.asarray([[0., 0, 10, 10],
+                                          [120., 120, 140, 140]]),
+                              np.asarray([1, 1]), np.asarray([0.9, 0.95]))
+        assert res_no["AP"] < 1.0
+
+    def test_crowd_iou_is_inter_over_det_area(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = self._base()
+        # 20x20 det inside a 100x100 crowd: standard IoU = 400/10000 =
+        # 0.04 (no match), crowd IoU = 400/400 = 1.0 (ignored). This is
+        # exactly what distinguishes the crowd formula.
+        crowd = {"a": (np.asarray([[100., 100, 200, 200]]),
+                       np.asarray([1]))}
+        res = coco_bbox_ap(2, gt, ["a", "a"],
+                           np.asarray([[0., 0, 10, 10],
+                                       [150., 150, 170, 170]]),
+                           np.asarray([1, 1]), np.asarray([0.9, 0.95]),
+                           crowd=crowd)
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_crowd_never_counts_in_npos(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = self._base()
+        # an undetected crowd gt must not depress recall
+        crowd = {"a": (np.asarray([[100., 100, 200, 200]]),
+                       np.asarray([1]))}
+        res = coco_bbox_ap(2, gt, ["a"], np.asarray([[0., 0, 10, 10]]),
+                           np.asarray([1]), np.asarray([0.9]), crowd=crowd)
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert res["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_crowd_absorbs_multiple_dets(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = self._base()
+        # pycocotools skips a matched gt only when NOT iscrowd — one crowd
+        # region may swallow any number of detections
+        crowd = {"a": (np.asarray([[100., 100, 200, 200]]),
+                       np.asarray([1]))}
+        res = coco_bbox_ap(2, gt, ["a", "a", "a"],
+                           np.asarray([[0., 0, 10, 10],
+                                       [110., 110, 130, 130],
+                                       [150., 150, 180, 180]]),
+                           np.asarray([1, 1, 1]),
+                           np.asarray([0.9, 0.95, 0.93]), crowd=crowd)
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_crowd_is_per_class(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        gt = {"a": (np.asarray([[0., 0, 10, 10], [0., 20, 10, 30]]),
+                    np.asarray([1, 2]))}
+        # class-2 crowd does NOT shelter a class-1 detection
+        crowd = {"a": (np.asarray([[100., 100, 200, 200]]),
+                       np.asarray([2]))}
+        res = coco_bbox_ap(3, gt, ["a", "a", "a"],
+                           np.asarray([[0., 0, 10, 10],
+                                       [0., 20, 10, 30],
+                                       [120., 120, 140, 140]]),
+                           np.asarray([1, 2, 1]),
+                           np.asarray([0.9, 0.9, 0.95]), crowd=crowd)
+        assert res["AP"] < 1.0  # the class-1 det over it is a real FP
+
+    def test_valid_gt_preferred_over_crowd(self):
+        from afan.eval.coco_map import coco_bbox_ap
+        # a det overlapping BOTH a valid gt (IoU .5+) and a crowd region
+        # must match the valid gt (TP), not vanish into the crowd
+        gt = self._base()
+        crowd = {"a": (np.asarray([[0., 0, 50, 50]]), np.asarray([1]))}
+        res = coco_bbox_ap(2, gt, ["a"], np.asarray([[0., 0, 10, 10]]),
+                           np.asarray([1]), np.asarray([0.9]), crowd=crowd)
+        assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+        assert res["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+
 class TestCocoLoader:
     def test_parse_json(self, tmp_path):
         import json
@@ -124,7 +222,7 @@ class TestCocoLoader:
                 {"image_id": 7, "category_id": 3, "bbox": [10, 10, 20, 30],
                  "iscrowd": 0},
                 {"image_id": 7, "category_id": 1, "bbox": [0, 0, 5, 5],
-                 "iscrowd": 1},  # crowd → dropped
+                 "iscrowd": 1},  # crowd → not a training target
             ],
             "categories": [],
         }
@@ -135,6 +233,23 @@ class TestCocoLoader:
         s = samples[0]
         np.testing.assert_allclose(s.boxes, [[10, 10, 30, 40]])
         assert s.labels.tolist() == [3]
+        # the crowd gt survives as an eval-time ignore region
+        np.testing.assert_allclose(s.crowd_boxes, [[0, 0, 5, 5]])
+        assert s.crowd_labels.tolist() == [1]
+
+    def test_crowd_only_image_skipped(self, tmp_path):
+        import json
+        from afan.data.coco import load_coco_samples
+        ann = {"images": [{"id": 1, "file_name": "a.jpg", "width": 50,
+                           "height": 50}],
+               "annotations": [
+                   {"image_id": 1, "category_id": 2, "bbox": [0, 0, 10, 10],
+                    "iscrowd": 1}],
+               "categories": []}
+        path = tmp_path / "inst.json"
+        path.write_text(json.dumps(ann))
+        samples, _ = load_coco_samples(str(path), "/img")
+        assert samples == []  # no non-crowd objects → not a training image
 
     def test_subset_remap(self, tmp_path):
         import json
