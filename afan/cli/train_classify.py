@@ -30,7 +30,8 @@ from ..data.prefetch import Prefetcher
 from ..models.resnet_s import ResNetS, LEARNABLE_TAPS
 from ..parallel.mesh import (check_divisible, make_mesh, replicate_state,
                              shard_batch)
-from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
+from ..train.checkpoint import (load_checkpoint, overlap_restore,
+                                restore_opt_state, save_checkpoint)
 from ..train.loop import (AlfaConfig, LearnableConfig, TrainState,
                           make_alfa_step, make_base_step,
                           make_device_data_alfa_step, make_epoch_scan_alfa,
@@ -126,6 +127,16 @@ def build_tx(args, steps_per_epoch: int):
     return sgd(schedule, args.momentum, args.weight_decay)
 
 
+def _ckpt_payload(state, epoch, best_prec1):
+    """Full-fidelity checkpoint: params + batch_stats + OPTIMIZER state,
+    matching `Classification/main_perturb.py:116-136` (the reference
+    persists the optimizer so resume keeps SGD momentum)."""
+    return {"epoch": epoch, "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": int(state.step), "best_prec1": best_prec1}
+
+
 def validate(eval_step, state, loader, mesh):
     correct, count = 0, 0
     for x, y in loader:
@@ -205,6 +216,13 @@ def main(argv=None):
             state = state.replace(params=params,
                                   batch_stats=saved["batch_stats"],
                                   step=jnp.asarray(saved["step"]))
+            if "opt_state" in saved:
+                opt, ok = restore_opt_state(state.opt_state,
+                                            saved["opt_state"])
+                state = state.replace(opt_state=opt)
+                Log.i("resume: optimizer state "
+                      + ("restored" if ok else
+                         "structure mismatch — keeping fresh init"))
             start_epoch = saved.get("epoch", 0)
             best_prec1 = saved.get("best_prec1", 0.0)
 
@@ -247,9 +265,7 @@ def main(argv=None):
             all_result["test_ta"].append(test_tacc)
             is_best = tacc > best_prec1
             best_prec1 = max(tacc, best_prec1)
-            payload = {"epoch": epoch + 1, "params": state.params,
-                       "batch_stats": state.batch_stats,
-                       "step": int(state.step), "best_prec1": best_prec1}
+            payload = _ckpt_payload(state, epoch + 1, best_prec1)
             save_checkpoint(ckpt_path, payload)
             if is_best:
                 save_checkpoint(os.path.join(args.save_dir,
@@ -287,9 +303,7 @@ def main(argv=None):
             all_result["test_ta"].append(test_tacc)
             is_best = tacc > best_prec1
             best_prec1 = max(tacc, best_prec1)
-            payload = {"epoch": epoch + 1, "params": state.params,
-                       "batch_stats": state.batch_stats,
-                       "step": int(state.step), "best_prec1": best_prec1}
+            payload = _ckpt_payload(state, epoch + 1, best_prec1)
             save_checkpoint(ckpt_path, payload)
             if is_best:
                 save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),
@@ -334,9 +348,7 @@ def main(argv=None):
 
         is_best = tacc > best_prec1
         best_prec1 = max(tacc, best_prec1)
-        payload = {"epoch": epoch + 1, "params": state.params,
-                   "batch_stats": state.batch_stats,
-                   "step": int(state.step), "best_prec1": best_prec1}
+        payload = _ckpt_payload(state, epoch + 1, best_prec1)
         save_checkpoint(ckpt_path, payload)
         if is_best:
             save_checkpoint(os.path.join(args.save_dir, "best_model.pt"),

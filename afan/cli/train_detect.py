@@ -29,7 +29,8 @@ from ..data.registry import DETECTION_DATASETS, detection_loaders
 from ..eval.det_map import DetectionEvaluator
 from ..models.frcnn import FRCNNConfig, FasterRCNN
 from ..parallel.mesh import check_divisible, make_mesh, replicate_state, shard_batch
-from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
+from ..train.checkpoint import (load_checkpoint, overlap_restore,
+                                restore_opt_state, save_checkpoint)
 from ..train.detect_loop import (DetAfanConfig, detection_tx,
                                  make_advtrain_det_step, make_afan_det_step,
                                  make_baseline_det_step, make_detect_fn)
@@ -229,6 +230,19 @@ def main(argv=None):
         if saved:
             params, frac = overlap_restore(state.params, saved["params"])
             state = state.replace(params=params)
+            if saved.get("batch_stats"):
+                stats, _ = overlap_restore(state.batch_stats,
+                                           saved["batch_stats"])
+                state = state.replace(batch_stats=stats)
+            if "opt_state" in saved:
+                # full-fidelity resume: SGD momentum + LR-schedule count
+                # (`Detection/model.py:189-217` persists optimizer+scheduler)
+                opt, ok = restore_opt_state(state.opt_state,
+                                            saved["opt_state"])
+                state = state.replace(opt_state=opt)
+                Log.i("Optimizer state "
+                      + ("restored" if ok else
+                         "structure mismatch — keeping fresh init"))
             step0 = saved.get("step", 0)
             Log.i(f"Model restored ({frac:.1%} keys) from "
                   f"{args.resume_checkpoint}")
@@ -272,6 +286,7 @@ def main(argv=None):
                 path = os.path.join(args.outputs_dir, f"model-{step}.pt")
                 save_checkpoint(path, {"params": state.params,
                                        "batch_stats": state.batch_stats,
+                                       "opt_state": state.opt_state,
                                        "step": step})
                 Log.i(f"Model saved to {path}")
             if args.eval_every and step % args.eval_every == 0:

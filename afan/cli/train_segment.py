@@ -24,7 +24,8 @@ from ..data.seg_data import cityscapes_loaders, voc_seg_loaders
 from ..eval.seg_miou import StreamSegMetrics
 from ..models.deeplab import build_model
 from ..parallel.mesh import check_divisible, make_mesh, replicate_state, shard_batch
-from ..train.checkpoint import load_checkpoint, overlap_restore, save_checkpoint
+from ..train.checkpoint import (load_checkpoint, overlap_restore,
+                                restore_opt_state, save_checkpoint)
 from ..train.loop import TrainState
 from ..train.optim import poly_schedule
 from ..train.segment_loop import (SegAfanConfig, make_afan_seg_step,
@@ -154,6 +155,15 @@ def main(argv=None):
         if args.continue_training:
             cur_itrs = saved.get("cur_itrs", 0)
             best_score = saved.get("best_score", 0.0)
+            if "opt_state" in saved:
+                # reference restores optimizer+scheduler when continuing
+                # (`Segmentation/main_aug_final.py:115-127`)
+                opt, ok = restore_opt_state(state.opt_state,
+                                            saved["opt_state"])
+                state = state.replace(opt_state=opt)
+                Log.i("Optimizer state "
+                      + ("restored" if ok else
+                         "structure mismatch — keeping fresh init"))
         Log.i(f"Model restored ({frac:.1%}) from {args.ckpt}")
 
     if args.variant == "baseline":
@@ -231,6 +241,7 @@ def main(argv=None):
                       f"{StreamSegMetrics.to_str(results)}")
                 payload = {"cur_itrs": cur_itrs, "params": state.params,
                            "batch_stats": state.batch_stats,
+                           "opt_state": state.opt_state,
                            "best_score": max(best_score, score)}
                 save_checkpoint(os.path.join(
                     outdir, f"latest_{args.model}_{args.dataset}.pt"), payload)

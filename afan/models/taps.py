@@ -58,6 +58,26 @@ class StagedModule(nn.Module):
         """(Possibly adversarial) tapped feature → output (stages [tap, N))."""
         return self(feature, start=tap, end=None, train=train)
 
+    def multi_head(self, x, taps, train: bool = False):
+        """ONE forward collecting the tapped features at several tap
+        points — stages [0, max(taps)) run exactly once. Functionally
+        identical to ``[self.head(x, t) for t in taps]`` (which re-runs
+        the shared prefix per tap: ~4x redundant stage work for the
+        9-tap learnable-eta trainer, `Classification/main_learnable.py:59`).
+        ``taps`` must be static python ints. Returns features in ``taps``
+        order (duplicates allowed)."""
+        stage_list = self.stages()
+        taps = tuple(int(t) for t in taps)
+        tap_set = set(taps)
+        last = max(taps)
+        feats = {}
+        for i in range(last):
+            if i in tap_set:
+                feats[i] = x
+            x = stage_list[i](x, train)
+        feats[last] = x
+        return [feats[t] for t in taps]
+
 
 def check_tap(tap: int, num_stages: int) -> None:
     if not (0 <= tap <= num_stages):

@@ -55,6 +55,31 @@ def overlap_restore(init_tree: Any, saved_tree: Any) -> Tuple[Any, float]:
     return out, matched[0] / max(total, 1)
 
 
+def restore_opt_state(fresh: Any, saved: Any) -> Tuple[Any, bool]:
+    """Full-fidelity optimizer-state restore: the reference persists
+    optimizer + scheduler state in every checkpoint
+    (`Detection/model.py:189-198`, `Classification/main_perturb.py:116-136`)
+    so a resumed run keeps SGD momentum and LR position.
+
+    Rebuilds on the FRESH state's treedef (container classes in an old
+    pickle may differ across optax versions) with the saved leaf values.
+    Returns (opt_state, ok); any structure/shape mismatch falls back to
+    the fresh init with ok=False.
+    """
+    import jax.numpy as jnp
+    fresh_leaves, treedef = jax.tree.flatten(fresh)
+    saved_leaves = jax.tree.leaves(saved)
+    if len(saved_leaves) != len(fresh_leaves):
+        return fresh, False
+    out = []
+    for f, s in zip(fresh_leaves, saved_leaves):
+        s = np.asarray(s)
+        if tuple(s.shape) != tuple(np.shape(f)):
+            return fresh, False
+        out.append(jnp.asarray(s, dtype=getattr(f, "dtype", s.dtype)))
+    return jax.tree.unflatten(treedef, out), True
+
+
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
     """Write a checkpoint. Uses pickle of host numpy trees — portable and
     dependency-free; orbax is used by the long-running trainers for async

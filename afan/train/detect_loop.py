@@ -42,12 +42,17 @@ def detection_param_labels(params) -> Any:
 
     def label(path, leaf):
         keys = [str(getattr(p, "key", "")) for p in path]
-        joined = "/".join(keys)
-        in_backbone = "backbone" in joined
-        if in_backbone and ("conv1" == keys[1] or "bn1" == keys[1]
-                            or "layer1" in joined):
+        in_backbone = any(k == "backbone" for k in keys)
+        in_layer = any(k.startswith("layer") for k in keys)
+        # stem = conv1/bn1 NOT nested inside any layerN block (name-based,
+        # position-independent: a refactor that nests params deeper must
+        # not silently unfreeze the stem)
+        is_stem = (not in_layer) and any(k in ("conv1", "bn1")
+                                         for k in keys)
+        if in_backbone and (is_stem or any(k == "layer1" for k in keys)):
             return "frozen"
-        if in_backbone and ("/bn" in joined or "ds_bn" in joined):
+        if in_backbone and any(k.startswith("bn") or k.startswith("ds_bn")
+                               for k in keys):
             # FrozenBatchNorm scale/bias anywhere in the backbone
             return "frozen"
         return "train"

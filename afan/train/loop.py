@@ -243,7 +243,7 @@ def sum_project(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_learnable_step(model, tx: optax.GradientTransformation,
-                        cfg: LearnableConfig):
+                        cfg: LearnableConfig, single_pass: bool = True):
     """Learnable-eta train step (`main_learnable.py:202-253`).
 
     All 9 tap ascents + 9 scaled tail forwards + the clean forward trace into
@@ -251,6 +251,13 @@ def make_learnable_step(model, tx: optax.GradientTransformation,
     :func:`afan.train.optim.sgd_with_param_groups`-style labeling (model
     params vs the eta vector `w`, which trains with its own lr and no weight
     decay, `main_learnable.py:85-90`).
+
+    ``single_pass`` (default) collects all tapped features in ONE prefix
+    forward via :meth:`StagedModule.multi_head` instead of re-running
+    stages ``[0, tap)`` per tap — bit-identical features (same stages on
+    the same input; parity-tested), ~4x less head-stage work.
+    ``single_pass=False`` keeps the naive per-tap forwards as the parity
+    oracle.
     """
     num_stages = model.num_stages
     taps = tuple(cfg.taps)
@@ -261,13 +268,20 @@ def make_learnable_step(model, tx: optax.GradientTransformation,
         # PGD at every tap (features detached; eta NOT applied during the
         # ascent — the scale enters only the final tail forward, matching
         # `main_learnable.py:226-242`).
-        adv_feats, clean_feats = [], []
         rngs = jax.random.split(rng, len(taps))
-        for tap, r in zip(taps, rngs):
-            feat = model.apply(variables, images, 0, tap, True,
-                               mutable=["batch_stats"])[0]
-            feat = jax.lax.stop_gradient(feat)
-
+        if single_pass:
+            feats = model.apply(variables, images, taps, True,
+                                method=model.multi_head,
+                                mutable=["batch_stats"])[0]
+            clean_feats = [jax.lax.stop_gradient(f) for f in feats]
+        else:
+            clean_feats = [
+                jax.lax.stop_gradient(
+                    model.apply(variables, images, 0, tap, True,
+                                mutable=["batch_stats"])[0])
+                for tap in taps]
+        adv_feats = []
+        for tap, feat, r in zip(taps, clean_feats, rngs):
             def tail_loss(f, tap=tap):
                 logits = model.apply(variables, f, tap, num_stages, True,
                                      mutable=["batch_stats"])[0]
@@ -275,7 +289,6 @@ def make_learnable_step(model, tx: optax.GradientTransformation,
 
             adv = pgd(tail_loss, feat, steps=cfg.steps, gamma=cfg.gamma,
                       eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip, rng=r)
-            clean_feats.append(feat)
             adv_feats.append(jax.lax.stop_gradient(adv))
 
         norms = [perturbation_norms(c, a) for c, a in zip(clean_feats, adv_feats)]
