@@ -59,6 +59,35 @@ def main():
     state, metrics = step(state, xb, yb, key)
     loss = float(metrics["loss"])
     print(f"DCN_LOSS={loss:.8f}", flush=True)
+
+    # Seg A-FAN across the 2-process mesh: BN batch_stats must be computed
+    # over the GLOBAL batch (cross-process collective), so both ranks print
+    # the same loss and match the single-process execution.
+    from afan.models.deeplab import build_model
+    from afan.train.optim import poly_schedule
+    from afan.train.segment_loop import (SegAfanConfig, make_afan_seg_step,
+                                         segmentation_tx)
+    seg = build_model("deeplabv3plus_mobilenet", 4, 16)
+    seg_rng = np.random.RandomState(42)
+    sx_all = seg_rng.rand(global_batch, 32, 32, 3).astype(np.float32)
+    sy_all = seg_rng.randint(0, 4, (global_batch, 32, 32)).astype(np.int32)
+    sxb, syb = host_local_batch_to_global(
+        mesh, [sx_all[pid * per:(pid + 1) * per],
+               sy_all[pid * per:(pid + 1) * per]])
+    stx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+
+    def sbuild():
+        k = jax.random.PRNGKey(2)
+        svars = seg.init({"params": k, "dropout": k},
+                         jnp.zeros((1, 32, 32, 3)), False)
+        return TrainState.create(svars, stx), jax.random.PRNGKey(3)
+
+    sstate, skey = jax.jit(sbuild, out_shardings=(repl, repl))()
+    sstep = make_afan_seg_step(seg, stx, SegAfanConfig(
+        tap_se=2, sd="concat", spectrum=3, mix_mask=(0, 0, 1),
+        mix_sd=True))
+    sstate, smetrics = sstep(sstate, sxb, syb, skey)
+    print(f"DCN_SEG_LOSS={float(smetrics['loss']):.8f}", flush=True)
     jax.distributed.shutdown()
 
 

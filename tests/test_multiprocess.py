@@ -47,6 +47,33 @@ def _single_process_loss() -> float:
     return float(metrics["loss"])
 
 
+def _single_process_seg_loss() -> float:
+    """Seg A-FAN on the in-process 8-device mesh, same data as the worker."""
+    from afan.models.deeplab import build_model
+    from afan.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from afan.train.loop import TrainState
+    from afan.train.optim import poly_schedule
+    from afan.train.segment_loop import (SegAfanConfig, make_afan_seg_step,
+                                         segmentation_tx)
+    seg = build_model("deeplabv3plus_mobilenet", 4, 16)
+    seg_rng = np.random.RandomState(42)
+    x = seg_rng.rand(16, 32, 32, 3).astype(np.float32)
+    y = seg_rng.randint(0, 4, (16, 32, 32)).astype(np.int32)
+    stx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+    k = jax.random.PRNGKey(2)
+    svars = seg.init({"params": k, "dropout": k},
+                     jnp.zeros((1, 32, 32, 3)), False)
+    mesh = make_mesh()
+    state = replicate_state(mesh, TrainState.create(svars, stx))
+    xb, yb = shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
+    sstep = make_afan_seg_step(seg, stx, SegAfanConfig(
+        tap_se=2, sd="concat", spectrum=3, mix_mask=(0, 0, 1),
+        mix_sd=True))
+    _, smetrics = sstep(state, xb, yb,
+                        replicate_state(mesh, jax.random.PRNGKey(3)))
+    return float(smetrics["loss"])
+
+
 @pytest.mark.slow
 def test_two_process_dcn_matches_single_process():
     if jax.device_count() < 8:
@@ -74,13 +101,19 @@ def test_two_process_dcn_matches_single_process():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
-    losses = []
+    losses, seg_losses = [], []
     for out in outs:
         m = re.search(r"DCN_LOSS=([0-9.]+)", out)
         assert m, out[-3000:]
         losses.append(float(m.group(1)))
+        ms = re.search(r"DCN_SEG_LOSS=([0-9.]+)", out)
+        assert ms, out[-3000:]
+        seg_losses.append(float(ms.group(1)))
     # both ranks see the same (psum-reduced, replicated) loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+    assert seg_losses[0] == pytest.approx(seg_losses[1], abs=1e-6)
     # and it matches the single-process 8-device execution
     ref = _single_process_loss()
     assert losses[0] == pytest.approx(ref, abs=1e-5)
+    seg_ref = _single_process_seg_loss()
+    assert seg_losses[0] == pytest.approx(seg_ref, abs=1e-4)

@@ -76,3 +76,47 @@ class TestMesh:
         assert gx.shape == (16, 4)
         np.testing.assert_array_equal(np.asarray(gx), x)
         assert gx.addressable_shards[0].data.shape[0] == 2  # 16/8 devices
+
+    def test_seg_dp_step_matches_single_device(self):
+        """Seg A-FAN under DP: mutable batch_stats must be GLOBAL-batch
+        statistics (replicated), and params/stats must match the
+        single-device step (`Segmentation/main_aug_final.py:119`)."""
+        from afan.models.deeplab import build_model
+        from afan.train.optim import poly_schedule
+        from afan.train.segment_loop import (SegAfanConfig,
+                                             make_afan_seg_step,
+                                             segmentation_tx)
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 4, (8, 32, 32)))
+        key0 = jax.random.PRNGKey(0)
+        vs = m.init({"params": key0, "dropout": key0}, x[:1], False)
+        tx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+        cfg = SegAfanConfig(tap_se=2, sd="concat", spectrum=3,
+                            mix_mask=(0, 0, 1), mix_sd=True)
+        step = make_afan_seg_step(m, tx, cfg)
+        key = jax.random.PRNGKey(7)
+
+        s1 = TrainState.create(vs, tx)
+        s1, m1 = step(s1, x, y, key)
+
+        mesh = make_mesh()
+        s8 = replicate_state(mesh, TrainState.create(vs, tx))
+        xb, yb = shard_batch(mesh, x, y)
+        s8, m8 = step(s8, xb, yb, replicate_state(mesh, key))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+        # (atol 1e-4: cross-device reduction order perturbs the last
+        # float32 bits through BN + two PGD ascents)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-4)
+        # batch_stats: replicated AND equal to the single-device update
+        for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                        jax.tree.leaves(s8.batch_stats)):
+            assert b.sharding.is_fully_replicated
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-4)
