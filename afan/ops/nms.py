@@ -151,15 +151,21 @@ def nms_mask_presorted(boxes_sorted: jnp.ndarray, threshold: float,
 
 
 def nms_select_presorted(boxes_sorted: jnp.ndarray, threshold: float,
-                         max_output_size: int, plus_one: bool = True
+                         max_output_size: int, plus_one: bool = True,
+                         valid_sorted: Optional[jnp.ndarray] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NMS on score-sorted boxes → the first ``max_output_size`` kept
     boxes (still score-sorted, zero-padded) + validity mask.
 
+    ``valid_sorted`` masks padded slots (absent boxes); when omitted, ALL
+    input boxes participate as real boxes — callers passing padded inputs
+    (e.g. zeroed (0,0,0,0) rows) must thread the mask.
+
     The rank of each kept box is a cumsum over the keep mask, so the
     selection is one O(N) scan + scatter instead of the extra
     ``top_k``-sized sort :func:`nms_padded` pays. Output is identical."""
-    keep = nms_mask_presorted(boxes_sorted, threshold, plus_one=plus_one)
+    keep = nms_mask_presorted(boxes_sorted, threshold,
+                              valid_sorted=valid_sorted, plus_one=plus_one)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     sel = keep & (rank < max_output_size)
     tgt = jnp.where(sel, rank, max_output_size)   # overflow -> dump slot

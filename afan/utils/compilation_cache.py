@@ -25,6 +25,16 @@ def enable_persistent_cache(path: str | None = None) -> None:
     platforms = getattr(jax.config, "jax_platforms", None) or ""
     if platforms.strip() == "cpu":
         return
+    if not platforms.strip():
+        # platform config unset: resolve the actual backend (initializes
+        # it, but every caller is about to use it anyway) — a CPU-only
+        # host must not opt into the cache just because the config string
+        # is empty.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return  # no backend at all: nothing to cache
 
     cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/afan_xla"))

@@ -41,7 +41,11 @@ class TestNmsKernel:
         order = np.argsort(-scores)
         return boxes[order], scores[order]
 
-    @pytest.mark.parametrize("n", [128, 300, 1024])
+    # n=3000 pads to 3 CHUNKs: exercises the boundary-chunk iota mask AND
+    # the mask-free streaming sweep over later chunks — the path the
+    # 12k-anchor training pipeline runs, previously untested (every case
+    # capped at one 1024-wide chunk).
+    @pytest.mark.parametrize("n", [128, 300, 1024, 3000])
     def test_matches_oracle(self, n):
         from afan.ops.kernels.nms_kernel import nms_sorted_mask_pallas
         from afan.ops.native import nms_cpu
@@ -49,6 +53,27 @@ class TestNmsKernel:
         keep = np.asarray(nms_sorted_mask_pallas(
             jnp.asarray(bs), jnp.ones(n, bool), 0.6, interpret=True))
         want = set(nms_cpu(bs, ss, 0.6).tolist())
+        assert set(np.nonzero(keep)[0].tolist()) == want
+
+    def test_multichunk_dense_overlap(self):
+        # heavy cross-chunk suppression: big boxes drawn from few cluster
+        # centers so early tiles suppress boxes 2+ chunks away (deep
+        # suppression chains also push past STATIC_ROUNDS)
+        from afan.ops.kernels.nms_kernel import nms_sorted_mask_pallas
+        from afan.ops.native import nms_cpu
+        rng = np.random.RandomState(99)
+        n = 2600
+        centers = rng.rand(8, 2) * 300
+        which = rng.randint(0, 8, n)
+        xy = centers[which] + rng.randn(n, 2) * 12
+        wh = rng.rand(n, 2) * 120 + 60
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        order = np.argsort(-scores)
+        bs, ss = boxes[order], scores[order]
+        keep = np.asarray(nms_sorted_mask_pallas(
+            jnp.asarray(bs), jnp.ones(n, bool), 0.5, interpret=True))
+        want = set(nms_cpu(bs, ss, 0.5).tolist())
         assert set(np.nonzero(keep)[0].tolist()) == want
 
     def test_valid_mask(self):

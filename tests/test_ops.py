@@ -107,6 +107,23 @@ class TestNMSParity:
         np.testing.assert_array_equal(np.asarray(got), want)
         np.testing.assert_array_equal(np.asarray(valid), np.asarray(mask))
 
+    def test_select_presorted_valid_mask(self):
+        """Padded slots threaded via valid_sorted must not participate as
+        real (0,0,0,0) boxes."""
+        from afan.ops.nms import nms_select_presorted
+        boxes, scores = random_boxes(60, seed=11)
+        order = np.argsort(-scores)
+        bs60 = boxes[order]
+        # pad with garbage rows marked invalid
+        bs = jnp.asarray(np.concatenate(
+            [bs60, np.zeros((20, 4), np.float32)]))
+        vs = jnp.asarray(np.arange(80) < 60)
+        got, valid = nms_select_presorted(bs, 0.5, 40, valid_sorted=vs)
+        want, want_valid = nms_select_presorted(jnp.asarray(bs60), 0.5, 40)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(valid),
+                                      np.asarray(want_valid))
+
 
 class TestIoU:
     def test_pairwise_matches_manual(self):
