@@ -15,6 +15,19 @@ program per tap configuration.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# AFAN_PLATFORM=cpu|tpu: pick the JAX backend for CLI subprocesses. A
+# plain JAX_PLATFORMS env var is NOT enough on hosts whose sitecustomize
+# pre-imports jax with a baked platform; config.update after import works.
+_plat = _os.environ.get("AFAN_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+    del _jax
+del _os, _plat
+
 # Persistent XLA compilation cache: identical programs reload in seconds
 # across processes instead of paying 10-25 min recompiles (1-core host,
 # remote TPU compile). Opt out with AFAN_NO_COMPILE_CACHE=1.

@@ -70,3 +70,30 @@ def test_recipe_flags_parse(tmp_path, script, args):
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "PARSE_OK" in out.stdout
+
+
+SMOKE_RECIPES = [
+    # one per stack: train -> checkpoint -> eval, real execution on CPU
+    ("classify_alfa.sh", [], "best val accuracy"),
+    ("detect_voc07_final_setting1.sh", [], "final mAP"),
+    ("seg_city_final.sh", ["1"], "best mIoU"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("script,args,marker", SMOKE_RECIPES,
+                         ids=[s for s, _, _ in SMOKE_RECIPES])
+def test_recipe_executes_end_to_end(tmp_path, script, args, marker):
+    """SMOKE_TINY=1 EXECUTION (not just flag parsing): a recipe that
+    parses can still crash at step 1 on a bad flag combination; each
+    stack's flagship recipe must actually train, checkpoint, and eval."""
+    env = dict(os.environ)
+    env["SMOKE_TINY"] = "1"
+    env["AFAN_PLATFORM"] = "cpu"   # honored by afan/__init__ post-import
+    env["OUT"] = str(tmp_path / "out")
+    env.pop("XLA_FLAGS", None)     # single CPU device is enough
+    out = subprocess.run(
+        ["bash", os.path.join(RECIPES, script)] + args, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-4000:]
+    assert marker in out.stdout + out.stderr, out.stdout[-4000:]
