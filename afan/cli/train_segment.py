@@ -92,6 +92,12 @@ def get_parser():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--limit_itrs", type=int, default=0)
+    # training-time image panels (`Segmentation/args.py` --enable_vis /
+    # --vis_num_samples; visdom replaced by PNG triptychs under runs/)
+    p.add_argument("--enable_vis", action="store_true",
+                   help="dump input|target|prediction panels at each "
+                        "validation (the reference's visdom dashboard)")
+    p.add_argument("--vis_num_samples", type=int, default=8)
     return p
 
 
@@ -207,11 +213,33 @@ def main(argv=None):
         step = make_afan_seg_step(model, tx, cfg)
     eval_step = make_seg_eval_step(model, num_classes)
 
-    def validate():
+    if args.enable_vis:
+        from ..data.seg_data import CITY_TRAIN_COLORS
+        from ..utils.observe import save_image_panel
+        from .eval_segment import voc_color_map
+        palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"
+                   else voc_color_map()[:num_classes])
+
+        def _decode(lab):
+            lab = np.asarray(lab)
+            rgb = np.zeros(lab.shape + (3,), np.uint8)
+            ok = lab < len(palette)
+            rgb[ok] = palette[lab[ok]]
+            return rgb
+
+    def validate(itrs=0):
         metrics = StreamSegMetrics(num_classes)
+        vis_left = args.vis_num_samples if args.enable_vis else 0
         for imgs, labs in val_loader:
-            _, hist = eval_step(state, jnp.asarray(imgs), jnp.asarray(labs))
+            preds, hist = eval_step(state, jnp.asarray(imgs),
+                                    jnp.asarray(labs))
             metrics.update_hist(np.asarray(hist))
+            for j in range(min(vis_left, len(imgs))):
+                save_image_panel(
+                    os.path.join("runs", exp, "vis",
+                                 f"itrs{itrs:06d}_{vis_left:02d}.png"),
+                    imgs[j], _decode(labs[j]), _decode(preds[j]))
+                vis_left -= 1
         return metrics.get_results()
 
     writer = ScalarWriter(os.path.join("runs", exp))
@@ -234,7 +262,7 @@ def main(argv=None):
                 interval_loss = 0.0
                 t0 = time.time()
             if cur_itrs % args.val_interval == 0 or cur_itrs >= total:
-                results = validate()
+                results = validate(cur_itrs)
                 score = results["Mean IoU"]
                 writer.add_scalar("val/mIoU", score, cur_itrs)
                 Log.i(f"[Val] itrs {cur_itrs}: "

@@ -50,6 +50,23 @@ class ScalarWriter:
             self._tb.close()
 
 
+def save_image_panel(path: str, image, target_rgb, pred_rgb) -> None:
+    """input | target | prediction triptych PNG — the during-training
+    image panels the reference shows in visdom
+    (`Segmentation/utils/visualizer.py`, `main_aug_final.py:265-275`);
+    file-based here (zero-egress hosts have no visdom server).
+
+    ``image``: (H, W, 3) float in [0,1]; ``target_rgb``/``pred_rgb``:
+    (H, W, 3) uint8 color-decoded label maps."""
+    import numpy as np
+    from PIL import Image
+    img = (np.clip(np.asarray(image), 0.0, 1.0) * 255).astype(np.uint8)
+    panel = np.concatenate(
+        [img, np.asarray(target_rgb), np.asarray(pred_rgb)], axis=1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(panel).save(path)
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str):
     """Capture a jax.profiler trace around a block of steps. View with

@@ -4,16 +4,28 @@ Emits one JSON line per metric (driver protocol), flagship LAST:
 
   1. afan_det_train_step_ms     — flagship A-FAN detection step
      (`Detection/train_aug_final.py` geometry: b2, 600x1000 -> 608x1008
-     canvas, R50, SE tap 2 + SD roi, spectrum 5) — BASELINE.md config 4.
-  2. afan_seg_train_imgs_per_sec_per_chip — A-FAN segmentation step
-     (`Segmentation/main_aug_final.py`: DeepLabv3+ R50, b4, 512 crop,
-     SE tap 2 + SD concat, spectrum 3) — BASELINE.md config 5.
-  3. alfa_train_mfu_pct         — model FLOPs utilization of the ALFA step
+     canvas, R50, SE tap 2 + SD roi, spectrum 5).
+  2. afan_det_sat_advt_step_ms  — BASELINE.md tracked config 4, honestly
+     parameterized (`Detection/train_aug_sat_advt.py:78-132`: 5-step
+     input-PGD + SE tap 2 spectrum-5 with AFN on points 3,4, no SD) —
+     5 extra fwd/bwd heavier than the flagship step.
+  3. afan_seg_train_imgs_per_sec_per_chip — A-FAN segmentation step at
+     512 crop (round 1/2 continuity metric).
+  4. afan_seg_city768_imgs_per_sec_per_chip — BASELINE.md tracked
+     config 5 at its REAL geometry (Cityscapes 768 crop, b4,
+     `Segmentation/sh/city/clean50/091_city_final01.sh`).
+  5. learnable_train_imgs_per_sec_per_chip — BASELINE.md tracked
+     config 3 (`Classification/main_learnable.py`: 9 taps, 3-step PGD
+     each, learnable eta, two optimizers).
+  6. alfa_train_mfu_pct         — model FLOPs utilization of the ALFA step
      vs the v5e bf16 peak (197 TFLOP/s), from XLA's own cost analysis of
      the compiled program (fallback: documented analytic estimate).
-  4. alfa_train_imgs_per_sec_per_chip — flagship ALFA classification step
+  7. alfa_train_imgs_per_sec_per_chip — flagship ALFA classification step
      (`Classification/main_perturb.py` defaults: batch 128, tap 13,
      5-step feature PGD, gamma 1.5/255) — BASELINE.md config 2.
+
+Every line carries ``min``/``median`` across timing windows so
+run-to-run chip variance is in the record (``value`` = median).
 
 `vs_baseline` denominators: the reference publishes no throughput
 (BASELINE.md), so each is a documented back-of-envelope estimate of the
@@ -30,50 +42,62 @@ import time
 # A100; the ALFA step is ~3.3x the work (1 clean fwd+bwd, 5 tail fwd+bwd,
 # head fwd, adv tail fwd+bwd) and serializes 8+ kernel launches per batch.
 ALFA_A100_EST_IMGS_PER_SEC = 1500.0
+# Learnable-eta: 9 head forwards + 9x3 tail fwd/bwd ascents + 9 scaled
+# tail fwd/bwd + clean fwd/bwd ~ 18x the plain fwd+bwd cost -> ~280
+# imgs/s from the same 5000 imgs/s plain-step anchor.
+LEARNABLE_A100_EST_IMGS_PER_SEC = 280.0
 # Detection: plain Faster R-CNN R50 600x1000 torch trains at ~125 ms/step
-# (b2) on A100; the A-FAN step is ~19 forward-equivalents vs ~4 for the
-# plain step and runs 11+ sequential model.forward dispatches.
+# (b2) on A100; the flagship A-FAN step is ~19 forward-equivalents vs ~4
+# for the plain step and runs 11+ sequential model.forward dispatches.
 DET_A100_EST_MS_PER_STEP = 650.0
+# config 4 (sat_advt) adds a 5-step input-PGD (5 fwd+bwd through the full
+# detector) on top: ~28 forward-equivalents -> ~900 ms/step.
+DET_SAT_ADVT_A100_EST_MS_PER_STEP = 900.0
 # Segmentation: plain DeepLabv3+ R50 513-crop torch trains at ~60 imgs/s
 # on A100; the A-FAN step is ~8-9 forward-equivalents vs ~3.
 SEG_A100_EST_IMGS_PER_SEC = 20.0
+# same estimate scaled to the 768-crop pixel count (513^2/768^2).
+SEG768_A100_EST_IMGS_PER_SEC = 8.9
 
 V5E_BF16_PEAK_FLOPS = 197e12
 A100_BF16_PEAK_FLOPS = 312e12
 
 
 def _time_steps(run_one, sync, iters, windows=3):
-    """Best-of-N-windows wall time per step. NOTE: sync by materializing a
-    metric value — on this TPU runtime block_until_ready does not reliably
-    await the dispatched chain (verified empirically); fetching the final
-    step's loss transitively forces all steps."""
-    best = float("inf")
+    """(min, median) wall time per step across timing windows. NOTE: sync
+    by materializing a metric value — on this TPU runtime
+    block_until_ready does not reliably await the dispatched chain
+    (verified empirically); fetching the final step's loss transitively
+    forces all steps."""
+    times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             run_one()
         sync()
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[0], times[len(times) // 2]
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": round(value, 3),
-                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
-          flush=True)
+def _emit(metric, value, unit, vs_baseline, min_value=None):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit,
+           "vs_baseline": round(vs_baseline, 3)}
+    if min_value is not None:
+        rec["min"] = round(min_value, 3)
+        rec["median"] = rec["value"]
+    print(json.dumps(rec), flush=True)
 
 
-def bench_detection():
+def _det_setup(batch=2, H=608, W=1008):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from afan.models.frcnn import FRCNNConfig, FasterRCNN
-    from afan.train.detect_loop import (DetAfanConfig, detection_tx,
-                                        make_afan_det_step)
+    from afan.train.detect_loop import detection_tx
     from afan.train.loop import TrainState
 
-    batch, H, W = 2, 608, 1008  # VOC 600x1000 rounded to the pad multiple
     model = FasterRCNN(cfg=FRCNNConfig(backbone="resnet50", num_classes=21),
                        dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -88,8 +112,16 @@ def bench_detection():
                            method=model.losses)
     tx = detection_tx(lambda c: 0.001)
     state = TrainState.create(variables, tx)
-    step = make_afan_det_step(model, tx, DetAfanConfig())  # flagship cfg
+    return model, tx, state, (images, boxes, labels, valid), key
 
+
+def _bench_det_config(cfg, metric, est_ms):
+    import jax
+
+    from afan.train.detect_loop import make_afan_det_step
+
+    model, tx, state, (images, boxes, labels, valid), key = _det_setup()
+    step = make_afan_det_step(model, tx, cfg)
     holder = {"state": state}
 
     def run_one():
@@ -102,12 +134,28 @@ def bench_detection():
         _ = float(holder["m"]["loss"])
 
     run_one(); run_one(); sync()  # compile + warmup
-    dt = _time_steps(run_one, sync, iters=10)
-    _emit("afan_det_train_step_ms", dt * 1e3, "ms/step",
-          DET_A100_EST_MS_PER_STEP / (dt * 1e3))
+    mn, med = _time_steps(run_one, sync, iters=10)
+    _emit(metric, med * 1e3, "ms/step", est_ms / (med * 1e3),
+          min_value=mn * 1e3)
 
 
-def bench_segmentation():
+def bench_detection():
+    from afan.train.detect_loop import DetAfanConfig
+
+    _bench_det_config(DetAfanConfig(), "afan_det_train_step_ms",
+                      DET_A100_EST_MS_PER_STEP)
+    # tracked config 4, reference-exact flags (train_aug_sat_advt.py:78):
+    # input-PGD 5 steps gamma .3/255 randinit+clip; SE tap 2 gamma 1/255;
+    # spectrum 5 with AFN on points 3,4; no SD; loss preset 1
+    sat_advt = DetAfanConfig(taps_se=(2,), gammas_se=(1.0 / 255,),
+                             spectrum=5, mix_mask=(0, 0, 0, 1, 1),
+                             sd=None, weight_mode="sat_preset",
+                             loss_setting=1, input_adv=True)
+    _bench_det_config(sat_advt, "afan_det_sat_advt_step_ms",
+                      DET_SAT_ADVT_A100_EST_MS_PER_STEP)
+
+
+def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,17 +165,21 @@ def bench_segmentation():
     from afan.train.segment_loop import (SegAfanConfig, make_afan_seg_step,
                                          segmentation_tx)
 
-    batch, crop, ncls = 4, 512, 19  # cityscapes geometry, BASELINE config 5
+    batch, ncls = 4, 19  # cityscapes geometry, BASELINE config 5
     model = build_model("deeplabv3plus_resnet50", ncls, 16, jnp.bfloat16)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, crop, crop, 3), jnp.float32)
-    labels = jnp.asarray(rng.randint(0, ncls, (batch, crop, crop)), jnp.int32)
+    labels = jnp.asarray(rng.randint(0, ncls, (batch, crop, crop)),
+                         jnp.int32)
     key = jax.random.PRNGKey(0)
     variables = model.init({"params": key, "dropout": key},
                            images[:1], False)
     tx = segmentation_tx(lambda c: 0.1)
     state = TrainState.create(variables, tx)
-    step = make_afan_seg_step(model, tx, SegAfanConfig())
+    # city-final flags: SD concat gamma 1.5, SE tap 2 gamma .02, AFN mask
+    # 01, mix_sd (`sh/city/clean50/091_city_final01.sh`)
+    step = make_afan_seg_step(model, tx, SegAfanConfig(
+        mix_mask=(0, 0, 1), mix_sd=True))
 
     holder = {"state": state}
 
@@ -141,9 +193,62 @@ def bench_segmentation():
         _ = float(holder["m"]["loss"])
 
     run_one(); run_one(); sync()
-    dt = _time_steps(run_one, sync, iters=20)
-    _emit("afan_seg_train_imgs_per_sec_per_chip", batch / dt, "imgs/sec",
-          (batch / dt) / SEG_A100_EST_IMGS_PER_SEC)
+    mn, med = _time_steps(run_one, sync, iters=iters)
+    _emit(metric, batch / med, "imgs/sec",
+          (batch / med) / est_imgs_per_sec, min_value=batch / mn)
+
+
+def bench_segmentation():
+    _bench_seg_geometry(512, "afan_seg_train_imgs_per_sec_per_chip",
+                        SEG_A100_EST_IMGS_PER_SEC, iters=20)
+    _bench_seg_geometry(768, "afan_seg_city768_imgs_per_sec_per_chip",
+                        SEG768_A100_EST_IMGS_PER_SEC, iters=10)
+
+
+def bench_learnable():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from afan.models.resnet_s import resnet56
+    from afan.train.loop import (LearnableConfig, TrainState,
+                                 make_learnable_step)
+    from afan.train.optim import sgd
+
+    batch = 128
+    model = resnet56(init_weight_eta=1.0 / 9, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 32, 32, 3),
+                    jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 10, batch))
+    variables = model.init(rng, x[:2], 0, None, False)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "w" if path[0].key == "w" else "model", params)
+
+    tx = optax.multi_transform(
+        {"model": sgd(lambda c: 0.1, 0.9, 5e-4),
+         "w": sgd(lambda c: 0.01, 0.9, 0.0)}, label_fn)
+    state = TrainState.create(variables, tx)
+    step = make_learnable_step(model, tx, LearnableConfig())
+
+    holder = {"state": state}
+
+    def run_one():
+        holder["i"] = holder.get("i", 0) + 1
+        holder["state"], holder["m"] = step(
+            holder["state"], x, y, jax.random.fold_in(rng, holder["i"]))
+
+    def sync():
+        _ = float(holder["m"]["loss"])
+
+    run_one(); run_one(); sync()
+    mn, med = _time_steps(run_one, sync, iters=20)
+    _emit("learnable_train_imgs_per_sec_per_chip", batch / med, "imgs/sec",
+          (batch / med) / LEARNABLE_A100_EST_IMGS_PER_SEC,
+          min_value=batch / mn)
 
 
 def bench_alfa():
@@ -198,21 +303,23 @@ def bench_alfa():
     for _ in range(3):
         run_one()
     sync()
-    dt = _time_steps(run_one, sync, iters=50)
-    imgs_per_sec = batch / dt
+    mn, med = _time_steps(run_one, sync, iters=50)
+    imgs_per_sec = batch / med
 
-    mfu = step_flops / dt / V5E_BF16_PEAK_FLOPS * 100
+    mfu = step_flops / med / V5E_BF16_PEAK_FLOPS * 100
     # the reference's implied MFU on A100 under the SAME flops model
     ref_mfu = (step_flops / batch) * ALFA_A100_EST_IMGS_PER_SEC \
         / A100_BF16_PEAK_FLOPS * 100
-    _emit("alfa_train_mfu_pct", mfu, "% of v5e bf16 peak", mfu / ref_mfu)
+    _emit("alfa_train_mfu_pct", mfu, "% of v5e bf16 peak", mfu / ref_mfu,
+          min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
     _emit("alfa_train_imgs_per_sec_per_chip", imgs_per_sec, "imgs/sec",
-          imgs_per_sec / ALFA_A100_EST_IMGS_PER_SEC)
+          imgs_per_sec / ALFA_A100_EST_IMGS_PER_SEC, min_value=batch / mn)
 
 
 def main():
     bench_detection()
     bench_segmentation()
+    bench_learnable()
     bench_alfa()  # flagship metric printed last
 
 

@@ -63,25 +63,63 @@ def run(step, variables, tx, images, labels, label, iters=20):
     print(msg, flush=True)
 
 
-def main():
-    batch, crop, ncls = 4, 512, 19
+def make_frozen_bn_step(model, tx):
+    """Clean step with EVAL-mode BN (running averages, no stat update):
+    isolates the cost of train-mode BN (batch mean/var reductions after
+    every conv) from the conv work itself."""
+    from afan.train.loop import _apply_updates
+    from afan.train.segment_loop import seg_cross_entropy
+
+    def step_fn(state, images, labels, rng):
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            logits = model.apply(vs, images, False)
+            return seg_cross_entropy(logits, labels), {}
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_params, new_opt = _apply_updates(tx, state, grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def battery(crop, ablations, batch=4, ncls=19):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, crop, crop, 3), jnp.float32)
     labels = jnp.asarray(rng.randint(0, ncls, (batch, crop, crop)),
                          jnp.int32)
     key = jax.random.PRNGKey(0)
     tx = segmentation_tx(lambda c: 0.1)
+    model = build_model("deeplabv3plus_resnet50", ncls, 16, jnp.bfloat16)
+    variables = model.init({"params": key, "dropout": key},
+                           images[:1], False)
+    print(f"=== crop {crop} b{batch} os16 ===", flush=True)
+    for name, mk in ablations:
+        run(mk(model, tx), variables, tx, images, labels,
+            f"{name:24s}", iters=10 if crop >= 768 else 20)
 
-    for os_ in (16, 8):
-        model = build_model("deeplabv3plus_resnet50", ncls, os_,
-                            jnp.bfloat16)
-        variables = model.init({"params": key, "dropout": key},
-                               images[:1], False)
-        run(make_seg_base_step(model, tx), variables, tx, images,
-            labels, f"baseline os{os_}")
-        if os_ == 16:
-            run(make_afan_seg_step(model, tx, SegAfanConfig()), variables,
-                tx, images, labels, f"afan     os{os_}")
+
+def main():
+    afan = lambda m, tx: make_afan_seg_step(m, tx, SegAfanConfig())
+    battery(512, [
+        ("baseline", make_seg_base_step),
+        ("baseline frozen-bn", make_frozen_bn_step),
+        ("afan flagship", afan),
+        ("afan no-sd", lambda m, tx: make_afan_seg_step(
+            m, tx, SegAfanConfig(sd=None))),
+        ("afan spectrum-2", lambda m, tx: make_afan_seg_step(
+            m, tx, SegAfanConfig(spectrum=2, mix_mask=(0, 0)))),
+        ("afan remat-tails", lambda m, tx: make_afan_seg_step(
+            m, tx, SegAfanConfig(remat_tails=True))),
+    ])
+    # the REAL tracked config 5 geometry (Cityscapes crop 768,
+    # `Segmentation/sh/city/clean50/091_city_final01.sh`)
+    battery(768, [
+        ("baseline", make_seg_base_step),
+        ("afan flagship", afan),
+    ])
 
 
 if __name__ == "__main__":
