@@ -89,6 +89,10 @@ def get_parser():
                    help="jax.checkpoint the spectrum tails (memory for "
                         "~6%% step time; only needed beyond the stock "
                         "crop/batch recipes)")
+    p.add_argument("--backbone_remat", action="store_true", default=False,
+                   help="rematerialize backbone stages in backward passes "
+                        "(memory for time; the stock b4 crop-768 recipe "
+                        "fits and runs faster without it)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--limit_itrs", type=int, default=0)
@@ -123,7 +127,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(args.model, num_classes, args.output_stride, dtype,
-                        separable_conv=args.separable_conv)
+                        separable_conv=args.separable_conv,
+                        backbone_remat=args.backbone_remat)
 
     total = args.limit_itrs or args.total_itrs
     schedule = poly_schedule(args.lr, args.total_itrs, 0.9)

@@ -40,6 +40,10 @@ class DeepLab(nn.Module):
     output_stride: int = 16
     plus: bool = True                     # DeepLabV3+ vs V3
     separable_conv: bool = False          # --separable_conv parity
+    # rematerialize backbone stages in backward passes. Seg at the stock
+    # recipes (b4, 512/768 crop) fits WITHOUT remat on a 16GB chip and
+    # runs faster; detection keeps its own default (resnet.py).
+    backbone_remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -53,7 +57,7 @@ class DeepLab(nn.Module):
             self.backbone = from_name(
                 self.backbone_name, output_stride=self.output_stride,
                 frozen_bn=False, bn_momentum=BN_FLAX_MOMENTUM,
-                dtype=self.dtype)
+                remat=self.backbone_remat, dtype=self.dtype)
         rates = (12, 24, 36) if self.output_stride == 8 else (6, 12, 18)
         head_cls = DeepLabHeadV3Plus if self.plus else DeepLabHead
         self.classifier = head_cls(num_classes=self.num_classes,
@@ -99,6 +103,26 @@ class DeepLab(nn.Module):
             raise ValueError(f"unknown sd tap {which!r}")
         return {"adv": adv, "low_level": low_level, "out": out}
 
+    def attack_features(self, x, tap: int, which: str,
+                        train: bool = False):
+        """ONE backbone+decoder pass producing (se_feat, low_level,
+        sd_dict) — the A-FAN step's attack-side features. Equivalent to
+        backbone_head + sd_head (the reference pays two separate head
+        forwards, `Segmentation/main_aug_final.py:160-166`, recomputing
+        stages [0, tap) twice); the tensors are identical, stages run
+        once."""
+        feat_se, low_level = self.backbone.head(x, tap, train,
+                                                with_low_level=True)
+        out = self.backbone.tail(feat_se, tap, 4, train)
+        if which == "aspp":
+            adv = self.classifier.aspp_head(out, train)
+        elif which == "concat":
+            adv = self.classifier.concat_head(out, low_level, train)
+        else:
+            raise ValueError(f"unknown sd tap {which!r}")
+        return feat_se, low_level, {"adv": adv, "low_level": low_level,
+                                    "out": out}
+
     def sd_tail(self, sd_dict: Dict[str, Any], which: str, x_shape,
                 adv_feature: Optional[jnp.ndarray] = None,
                 train: bool = False):
@@ -135,9 +159,11 @@ MODEL_MAP = {
 
 
 def build_model(name: str, num_classes: int, output_stride: int = 16,
-                dtype=jnp.float32, separable_conv: bool = False) -> DeepLab:
+                dtype=jnp.float32, separable_conv: bool = False,
+                backbone_remat: bool = False) -> DeepLab:
     if name not in MODEL_MAP:
         raise ValueError(f"unknown model {name!r}; have {list(MODEL_MAP)}")
     return DeepLab(num_classes=num_classes, output_stride=output_stride,
-                   separable_conv=separable_conv, dtype=dtype,
+                   separable_conv=separable_conv,
+                   backbone_remat=backbone_remat, dtype=dtype,
                    **MODEL_MAP[name])

@@ -198,10 +198,25 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                           randinit=True, clip=True, rng=r_inp)
             images_l0 = jnp.clip(jax.lax.stop_gradient(adv_img), 0.0, 1.0)
 
-        # (1) SE head
-        feat_se, low_level = model.apply(
-            variables, images, cfg.tap_se, True, mutable=["batch_stats"],
-            method=model.backbone_head, rngs={"dropout": r_se})[0]
+        # (1)+(2) attack-side features. With an SD tap configured, ONE
+        # fused forward yields the SE tap feature AND the decoder feature
+        # (identical tensors to the reference's two separate head
+        # forwards, `main_aug_final.py:160-166`, without recomputing
+        # stages [0, tap) twice). The SD dropout rng (r_sd) drives the
+        # pass: the backbone below the tap has no dropout, so feat_se is
+        # rng-independent, matching the split formulation exactly.
+        fused_sd_dict = None
+        if cfg.sd is not None:
+            feat_se, low_level, fused_sd_dict = model.apply(
+                variables, images, cfg.tap_se, cfg.sd, True,
+                mutable=["batch_stats"], method=model.attack_features,
+                rngs={"dropout": r_sd})[0]
+            fused_sd_dict = jax.lax.stop_gradient(fused_sd_dict)
+        else:
+            feat_se, low_level = model.apply(
+                variables, images, cfg.tap_se, True,
+                mutable=["batch_stats"],
+                method=model.backbone_head, rngs={"dropout": r_se})[0]
         feat_se = jax.lax.stop_gradient(feat_se)
         low_level = jax.lax.stop_gradient(low_level)
 
@@ -240,14 +255,10 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                     randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
             extra_advs.append((tap, jax.lax.stop_gradient(a)))
 
-        # (2)+(3b) SD attack on the decoder feature
+        # (3b) SD attack on the decoder feature (from the fused forward)
         adv_sd = None
         if cfg.sd is not None:
-            sd_dict = model.apply(variables, images, cfg.sd, True,
-                                  mutable=["batch_stats"],
-                                  method=model.sd_head,
-                                  rngs={"dropout": r_sd})[0]
-            sd_dict = jax.lax.stop_gradient(sd_dict)
+            sd_dict = fused_sd_dict
             sd_clean = sd_dict["adv"]
 
             def sd_loss(f):

@@ -29,9 +29,12 @@ V5E_PEAK = 197e12
 def run(step, variables, tx, images, labels, label, iters=20):
     state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)
+    # compile ONCE via lower().compile() and call the compiled object —
+    # calling the jitted fn after a separate lower() used to trigger a
+    # second remote compile, which intermittently hangs the axon runtime
+    compiled = step.lower(state, images, labels, key).compile()
     try:
-        cost = step.lower(state, images, labels, key).compile(
-        ).cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         fl = float(cost.get("flops", 0.0))
@@ -45,8 +48,9 @@ def run(step, variables, tx, images, labels, label, iters=20):
 
     def one():
         holder["i"] += 1
-        holder["s"], holder["m"] = step(holder["s"], images, labels,
-                                        jax.random.fold_in(key, holder["i"]))
+        holder["s"], holder["m"] = compiled(holder["s"], images, labels,
+                                            jax.random.fold_in(key,
+                                                               holder["i"]))
 
     one(); one(); _ = float(holder["m"]["loss"])
     best = float("inf")
@@ -85,17 +89,19 @@ def make_frozen_bn_step(model, tx):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def battery(crop, ablations, batch=4, ncls=19):
+def battery(crop, ablations, batch=4, ncls=19, backbone_remat=True):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, crop, crop, 3), jnp.float32)
     labels = jnp.asarray(rng.randint(0, ncls, (batch, crop, crop)),
                          jnp.int32)
     key = jax.random.PRNGKey(0)
     tx = segmentation_tx(lambda c: 0.1)
-    model = build_model("deeplabv3plus_resnet50", ncls, 16, jnp.bfloat16)
+    model = build_model("deeplabv3plus_resnet50", ncls, 16, jnp.bfloat16,
+                        backbone_remat=backbone_remat)
     variables = model.init({"params": key, "dropout": key},
                            images[:1], False)
-    print(f"=== crop {crop} b{batch} os16 ===", flush=True)
+    print(f"=== crop {crop} b{batch} os16 remat={backbone_remat} ===",
+          flush=True)
     for name, mk in ablations:
         run(mk(model, tx), variables, tx, images, labels,
             f"{name:24s}", iters=10 if crop >= 768 else 20)
@@ -103,23 +109,21 @@ def battery(crop, ablations, batch=4, ncls=19):
 
 def main():
     afan = lambda m, tx: make_afan_seg_step(m, tx, SegAfanConfig())
+    city = lambda m, tx: make_afan_seg_step(m, tx, SegAfanConfig(
+        mix_mask=(0, 0, 1), mix_sd=True))  # city-final flags
     battery(512, [
         ("baseline", make_seg_base_step),
-        ("baseline frozen-bn", make_frozen_bn_step),
         ("afan flagship", afan),
-        ("afan no-sd", lambda m, tx: make_afan_seg_step(
-            m, tx, SegAfanConfig(sd=None))),
-        ("afan spectrum-2", lambda m, tx: make_afan_seg_step(
-            m, tx, SegAfanConfig(spectrum=2, mix_mask=(0, 0)))),
-        ("afan remat-tails", lambda m, tx: make_afan_seg_step(
-            m, tx, SegAfanConfig(remat_tails=True))),
-    ])
+    ], backbone_remat=True)
     # the REAL tracked config 5 geometry (Cityscapes crop 768,
     # `Segmentation/sh/city/clean50/091_city_final01.sh`)
     battery(768, [
         ("baseline", make_seg_base_step),
-        ("afan flagship", afan),
-    ])
+        ("afan city-final", city),
+    ], backbone_remat=True)
+    battery(768, [
+        ("afan city-final", city),
+    ], backbone_remat=False)
 
 
 if __name__ == "__main__":

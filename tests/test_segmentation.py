@@ -133,6 +133,35 @@ class TestDeepLabTaps:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestAttackFeaturesFused:
+    """attack_features (one fused pass) must produce EXACTLY the tensors
+    of the separate backbone_head + sd_head applies it replaces."""
+
+    @pytest.mark.parametrize("which", ["aspp", "concat"])
+    def test_matches_separate_train_mode(self, which):
+        from afan.models.deeplab import build_model
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3),
+                        jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        vs = m.init({"params": rng, "dropout": rng}, x, False)
+        key = jax.random.PRNGKey(9)
+        (f, low, sdd), _ = m.apply(vs, x, 2, which, True,
+                                   mutable=["batch_stats"],
+                                   method=m.attack_features,
+                                   rngs={"dropout": key})
+        (f2, low2), _ = m.apply(vs, x, 2, True, mutable=["batch_stats"],
+                                method=m.backbone_head,
+                                rngs={"dropout": key})
+        sdd2, _ = m.apply(vs, x, which, True, mutable=["batch_stats"],
+                          method=m.sd_head, rngs={"dropout": key})
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(low), np.asarray(low2))
+        for k in ("adv", "low_level", "out"):
+            np.testing.assert_array_equal(np.asarray(sdd[k]),
+                                          np.asarray(sdd2[k]))
+
+
 class TestSegAfanStep:
     def test_step_runs_and_updates(self):
         from afan.models.deeplab import build_model
