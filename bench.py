@@ -155,7 +155,8 @@ def bench_detection():
                       DET_SAT_ADVT_A100_EST_MS_PER_STEP)
 
 
-def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters):
+def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
+                        emit_mfu=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -180,12 +181,23 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters):
     # 01, mix_sd (`sh/city/clean50/091_city_final01.sh`)
     step = make_afan_seg_step(model, tx, SegAfanConfig(
         mix_mask=(0, 0, 1), mix_sd=True))
+    # one compile, reused for timing (a second remote compile of the same
+    # program can transiently hang the tunneled runtime)
+    compiled = step.lower(state, images, labels, key).compile()
+    step_flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost["flops"])
+    except Exception:
+        pass
 
     holder = {"state": state}
 
     def run_one():
         holder["i"] = holder.get("i", 0) + 1
-        holder["state"], holder["m"] = step(
+        holder["state"], holder["m"] = compiled(
             holder["state"], images, labels, jax.random.fold_in(
                 key, holder["i"]))
 
@@ -196,13 +208,26 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters):
     mn, med = _time_steps(run_one, sync, iters=iters)
     _emit(metric, batch / med, "imgs/sec",
           (batch / med) / est_imgs_per_sec, min_value=batch / mn)
+    if emit_mfu and step_flops:
+        # hardware-normalized cross-check (same structure as the ALFA MFU
+        # line): our MFU on v5e vs the MFU the reference's estimated
+        # throughput would imply on A100 under the SAME flops model. This
+        # is the falsifiable seg comparison — raw imgs/sec/chip compares
+        # a 197 TF/s chip against a 312 TF/s one.
+        mfu = step_flops / med / V5E_BF16_PEAK_FLOPS * 100
+        ref_mfu = (step_flops / batch) * est_imgs_per_sec \
+            / A100_BF16_PEAK_FLOPS * 100
+        _emit(metric.replace("imgs_per_sec_per_chip", "mfu_pct"), mfu,
+              "% of v5e bf16 peak", mfu / ref_mfu,
+              min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
 
 
 def bench_segmentation():
     _bench_seg_geometry(512, "afan_seg_train_imgs_per_sec_per_chip",
                         SEG_A100_EST_IMGS_PER_SEC, iters=20)
     _bench_seg_geometry(768, "afan_seg_city768_imgs_per_sec_per_chip",
-                        SEG768_A100_EST_IMGS_PER_SEC, iters=10)
+                        SEG768_A100_EST_IMGS_PER_SEC, iters=10,
+                        emit_mfu=True)
 
 
 def bench_learnable():
@@ -278,9 +303,11 @@ def bench_alfa():
 
     # FLOPs of one compiled step from XLA's cost analysis (for MFU);
     # falls back to the analytic estimate if the backend can't report it.
-    step_flops = None
+    # The compiled object is reused for the timed runs — compiling the
+    # same program twice can transiently hang the tunneled runtime.
+    compiled = step.lower(state, x, y, rng).compile()
     try:
-        cost = step.lower(state, x, y, rng).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost["flops"])
@@ -294,7 +321,7 @@ def bench_alfa():
 
     def run_one():
         holder["i"] = holder.get("i", 0) + 1
-        holder["state"], holder["m"] = step(
+        holder["state"], holder["m"] = compiled(
             holder["state"], x, y, jax.random.fold_in(rng, holder["i"]))
 
     def sync():
