@@ -113,6 +113,69 @@ class TestCocoSummary12:
         assert "maxDets=  1" in text and "area= small" in text
 
 
+class TestCocoProtocolEdges:
+    """The COCOeval behaviors hardest to get right without a pycocotools
+    oracle: per-image maxDets truncation order and score-tie stability."""
+
+    def test_maxdets_truncates_per_image_by_score(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # image a: 2 gt, detections = 1 junk FP at score .95 plus 2
+        # perfect TPs at .5/.4. AR@1 keeps only the top-scored det of the
+        # image (the FP) -> recall 0; AR@10 keeps all -> recall 1.
+        gt = {"a": (np.asarray([[0., 0, 10, 10], [20., 20, 30, 30]]),
+                    np.asarray([1, 1]))}
+        res = coco_eval_summary(
+            2, gt, ["a", "a", "a"],
+            np.asarray([[50., 50, 60, 60], [0., 0, 10, 10],
+                        [20., 20, 30, 30]]),
+            np.asarray([1, 1, 1]), np.asarray([0.95, 0.5, 0.4]))
+        assert res["AR1"] == 0.0
+        assert res["AR10"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_maxdets_is_per_image_not_global(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # image a: 1 junk det at .9; image b: its own det at .1 matching
+        # its gt. A GLOBAL maxDets=1 would drop b's det (lower score);
+        # COCOeval truncates per image, so b keeps recall 1.
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1])),
+              "b": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        res = coco_eval_summary(
+            2, gt, ["a", "b"],
+            np.asarray([[50., 50, 60, 60], [0., 0, 10, 10]]),
+            np.asarray([1, 1]), np.asarray([0.9, 0.1]))
+        assert res["AR1"] == pytest.approx(0.5, abs=1e-6)  # a misses, b hits
+
+    def test_trailing_fp_forgiven_by_envelope(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # Two dets with EQUAL scores on one gt: one matches (TP), the
+        # other double-matches (FP). Because the FP lands AFTER full
+        # recall is reached, COCOeval's precision envelope (max precision
+        # at recall >= r) keeps AP at 1.0 — trailing FPs past the last TP
+        # do not lower interpolated AP. Tie-break jitter cannot change
+        # this: either order yields the same (recall, precision) steps.
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        res = coco_eval_summary(
+            2, gt, ["a", "a"],
+            np.asarray([[0., 0, 10, 10], [0., 0, 10, 9.9]]),
+            np.asarray([1, 1]), np.asarray([0.7, 0.7]))
+        assert res["AP50"] == pytest.approx(1.0, abs=1e-6)
+        assert res["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_leading_fp_halves_ap(self):
+        from afan.eval.coco_map import coco_eval_summary
+        # Contrast case: the FP outranks the TP, so the first PR step is
+        # (recall 0, precision 0) and the envelope at every recall is the
+        # second step's precision 1/2 -> AP50 = 0.5. FPs before the last
+        # TP DO hurt.
+        gt = {"a": (np.asarray([[0., 0, 10, 10]]), np.asarray([1]))}
+        res = coco_eval_summary(
+            2, gt, ["a", "a"],
+            np.asarray([[50., 50, 60, 60], [0., 0, 10, 10]]),
+            np.asarray([1, 1]), np.asarray([0.9, 0.5]))
+        assert res["AP50"] == pytest.approx(0.5, abs=1e-2)
+        assert res["AR100"] == pytest.approx(1.0, abs=1e-6)
+
+
 class TestCocoCrowd:
     """iscrowd gt are ignore regions under the crowd-modified IoU
     (inter/area_det), per pycocotools COCOeval as run by
