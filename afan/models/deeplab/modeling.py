@@ -40,10 +40,11 @@ class DeepLab(nn.Module):
     output_stride: int = 16
     plus: bool = True                     # DeepLabV3+ vs V3
     separable_conv: bool = False          # --separable_conv parity
-    # rematerialize backbone stages in backward passes. Seg at the stock
-    # recipes (b4, 512/768 crop) fits WITHOUT remat on a 16GB chip and
-    # runs faster; detection keeps its own default (resnet.py).
-    backbone_remat: bool = False
+    # rematerialize backbone stages in backward passes: one bool for all
+    # stages or a per-stage 4-tuple (resnet.py:ResNetTorso.remat). Seg at
+    # the stock recipes (b4, 512/768 crop) fits WITHOUT remat on a 16GB
+    # chip and runs faster; detection keeps its own default (resnet.py).
+    backbone_remat: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -81,6 +82,16 @@ class DeepLab(nn.Module):
         out = self.backbone.tail(feat, tap, 4, train)
         logits = self.classifier(out, low_level, train)
         return resize_bilinear(logits, (x_shape[1], x_shape[2]))
+
+    def low_level_feature(self, x, train: bool = False):
+        """The always-exported post-layer1 feature, recomputed for the
+        final loss graph: the reference does NOT detach ``low_level`` —
+        the spectrum-tail losses backprop through it into stem+layer1
+        (`main_aug_final.py:169` takes it undetached from the head
+        forward; `:214-215` feeds it to the tail forwards). XLA CSEs
+        this with the clean forward's identical stem+layer1 subgraph, so
+        the recompute is free when the clean image is unperturbed."""
+        return self.backbone.head(x, 1, train, with_low_level=True)[1]
 
     # ---------- clean forward ----------
 

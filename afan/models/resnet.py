@@ -181,11 +181,14 @@ class ResNetTorso(nn.Module):
     frozen_bn: bool = True
     bn_momentum: float = 0.9
     include_normalize: bool = True
-    # rematerialize each stage in backward passes: trades ~25% FLOPs for a
+    # rematerialize stages in backward passes: trades ~25% FLOPs for a
     # large activation-memory cut — required for full-scale (600x1000)
     # detection training on a 16GB chip (jax.checkpoint, SURVEY.md design
-    # note "use remat to trade FLOPs for memory")
-    remat: bool = True
+    # note "use remat to trade FLOPs for memory"). Either one bool for all
+    # 4 stages or a per-stage 4-sequence (selective remat: early stages
+    # carry the largest activations per FLOP, so e.g. (1,1,0,0) cuts most
+    # of the memory at a fraction of the recompute).
+    remat: Any = True
     dtype: Any = jnp.float32
 
     def _dilations(self) -> Tuple[List[int], List[int]]:
@@ -202,11 +205,13 @@ class ResNetTorso(nn.Module):
         block = Bottleneck if self.block_name == "bottleneck" else BasicBlockI
         strides, dils = self._dilations()
         planes = (64, 128, 256, 512)
-        stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
-                     if self.remat else ResNetStage)
+        remat_mask = (tuple(self.remat) if isinstance(self.remat, (tuple, list))
+                      else (bool(self.remat),) * 4)
         stages = []
         prev_dil = 1
         for i in range(4):
+            stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
+                         if remat_mask[i] else ResNetStage)
             stages.append(stage_cls(
                 block=block, planes=planes[i], num_blocks=self.layers[i],
                 stride=strides[i], dilation=dils[i], prev_dilation=prev_dil,

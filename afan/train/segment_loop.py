@@ -220,19 +220,20 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
         feat_se = jax.lax.stop_gradient(feat_se)
         low_level = jax.lax.stop_gradient(low_level)
 
-        def tap_tail_logits(vs, f, tap, r):
-            out = model.apply(vs, images.shape, f, low_level, tap,
+        def tap_tail_logits(vs, f, tap, r, ll):
+            out = model.apply(vs, images.shape, f, ll, tap,
                               True, mutable=["batch_stats"],
                               method=model.forward_tail,
                               rngs={"dropout": r})
             return out[0]
 
-        def se_tail_logits(vs, f, r):
-            return tap_tail_logits(vs, f, cfg.tap_se, r)
-
-        # (3a) PGD on SE
+        # (3a) PGD on SE — the ascent differentiates w.r.t. the feature
+        # only (autograd.grad(loss, x_adv)), so the detached low_level is
+        # exact here
         def se_loss(f):
-            return criterion(se_tail_logits(variables, f, r_se), labels)
+            return criterion(
+                tap_tail_logits(variables, f, cfg.tap_se, r_se, low_level),
+                labels)
 
         adv_se = pgd(se_loss, feat_se, steps=cfg.steps, gamma=cfg.gamma_se,
                      eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
@@ -249,8 +250,9 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             f_t = jax.lax.stop_gradient(f_t)
 
             def t_loss(f, tap=tap):
-                return criterion(tap_tail_logits(variables, f, tap, r_se),
-                                 labels)
+                return criterion(
+                    tap_tail_logits(variables, f, tap, r_se, low_level),
+                    labels)
             a = pgd(t_loss, f_t, steps=cfg.steps, gamma=g, eps=cfg.eps,
                     randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
             extra_advs.append((tap, jax.lax.stop_gradient(a)))
@@ -297,8 +299,19 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                                            rngs={"dropout": r_clean})
             l0 = criterion(logits0, labels)
 
+            # the reference keeps low_level UNDETACHED in the loss graph
+            # (`main_aug_final.py:169,214-215`): the tail losses backprop
+            # through it into stem+layer1. Recompute it differentiably —
+            # with an unperturbed clean image XLA CSEs this with logits0's
+            # stem+layer1, so only the (shared) backward edge is added.
+            ll_diff = model.apply(vs, images, True,
+                                  mutable=["batch_stats"],
+                                  method=model.low_level_feature,
+                                  rngs={"dropout": r_clean})[0]
+
             def one_tail(f, r):
-                return criterion(se_tail_logits(vs, f, r), labels)
+                return criterion(
+                    tap_tail_logits(vs, f, cfg.tap_se, r, ll_diff), labels)
             if cfg.remat_tails:
                 one_tail = jax.checkpoint(one_tail)
             spec_rngs = jax.random.split(r_spec, n_spec - 1)
@@ -325,7 +338,7 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             l_multi = 0.0
             for tap, a in extra_advs:
                 l_multi = l_multi + criterion(
-                    tap_tail_logits(vs, a, tap, r_spec), labels)
+                    tap_tail_logits(vs, a, tap, r_spec, ll_diff), labels)
 
             n_adv = (n_spec - 1) + len(extra_advs) + (1 if cfg.sd else 0)
             if cfg.weight_mode == "sat_preset":
