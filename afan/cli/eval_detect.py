@@ -31,7 +31,7 @@ from ..utils.logging import Log
 def get_parser():
     p = argparse.ArgumentParser(description="A-FAN TPU detection eval")
     p.add_argument("--task", choices=["map", "rob", "sat_layers", "loss_vis",
-                                      "sat_vis"],
+                                      "sat_vis", "input_surface"],
                    default="map")
     p.add_argument("-s", "--dataset", default="voc2007")
     p.add_argument("-b", "--backbone", default="resnet50")
@@ -57,6 +57,10 @@ def get_parser():
     p.add_argument("--gamma_se", type=float, default=0.9)
     p.add_argument("--dump_dir", default="feature_maps")
     p.add_argument("--limit_images", type=int, default=4)
+    # input_surface (legacy ALP probe, `py/evaluator_alp_zzy.py:158-161`)
+    p.add_argument("--grid_points", type=int, default=40)
+    p.add_argument("--grid_extent", type=float, default=0.1)
+    p.add_argument("--surface_out", default="alp_adv.pkl")
     return p
 
 
@@ -189,6 +193,31 @@ def main(argv=None):
         Log.i(f"wrote {written} PNGs ({done} images x {args.spectrum} "
               f"spectrum points) to {args.dump_dir}")
         return written
+
+    if args.task == "input_surface":
+        # legacy ALP loss-surface probe (`Detection/py/eval_ALP_zzy.py` +
+        # `evaluator_alp_zzy.py:131-186`): per image, a grid of losses over
+        # sign-gradient x Rademacher input directions, pickled as
+        # {image_id: (points, points) array}. The reference samples 20
+        # random eval images; --limit_images bounds ours.
+        import pickle
+
+        from ..eval.robustness import make_input_surface_fn
+        fn = make_input_surface_fn(model, args.grid_extent, args.grid_points)
+        surfaces = {}
+        for i, b in enumerate(eval_loader):
+            if args.limit_images and i >= args.limit_images:
+                break
+            Z = fn(state, jnp.asarray(b.images), jnp.asarray(b.boxes),
+                   jnp.asarray(b.labels), jnp.asarray(b.valid),
+                   jax.random.PRNGKey(i))
+            surfaces[b.image_ids[0]] = np.asarray(Z)
+        with open(args.surface_out, "wb") as f:
+            pickle.dump(surfaces, f)
+        Log.i(f"wrote {len(surfaces)} loss surfaces "
+              f"({args.grid_points}x{args.grid_points}) to "
+              f"{args.surface_out}")
+        return surfaces
 
     if args.task == "loss_vis":
         b = first

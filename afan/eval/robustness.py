@@ -134,6 +134,52 @@ def _detect_from_features(model, variables, features, images_shape):
     return model.apply(variables, method=lambda mdl: run(mdl))
 
 
+def make_input_surface_fn(model, extent: float = 0.1, points: int = 40,
+                          chunk: int = 16):
+    """ALP input-space loss surface (`Detection/py/evaluator_alp_zzy.py:131-186`
+    + `py/alp_utils_zzy.py:9-32`): probe the train-mode 4-loss sum on a
+    ``points``x``points`` grid of images ``x*r1 + y*r2`` where ``r1`` is
+    the sign of the input gradient and ``r2`` a Rademacher direction, each
+    grid image min-max rescaled to [0,1].
+
+    TPU-native: the reference runs the 1600 grid forwards sequentially;
+    here the grid is batched with a chunked ``vmap`` (``lax.map`` with
+    ``batch_size``) so the MXU sees ``chunk``-sized batches — one jitted
+    program for the whole surface.
+
+    Parity notes: the grid is ``arange(-extent, extent, 2*extent/points)``
+    (upper endpoint excluded) and the center cell (x=y=0) rescales an
+    all-zero image 0/0 → NaN loss, exactly as the reference's torch code
+    does; callers should expect one NaN at [points//2, points//2].
+    """
+
+    def surface(state, images, gt_boxes, gt_classes, gt_valid, rng):
+        variables = state.variables()
+
+        def total_loss(x):
+            return model.apply(variables, x, gt_boxes, gt_classes, gt_valid,
+                               rng, method=model.losses).total()
+
+        r1 = jnp.sign(jax.grad(total_loss)(images))
+        # torch.where(rand > 0.5, -1, 1)  (alp_utils_zzy.py:9-15)
+        r2 = jnp.where(jax.random.uniform(rng, images.shape) > 0.5,
+                       -1.0, 1.0)
+        step = 2.0 * extent / points
+        xs = -extent + step * jnp.arange(points, dtype=jnp.float32)
+        X, Y = jnp.meshgrid(xs, xs)
+        xy = jnp.stack([X.reshape(-1), Y.reshape(-1)], -1)
+
+        def one(pt):
+            new = pt[0] * r1 + pt[1] * r2
+            scaled = (new - new.min()) / (new.max() - new.min())
+            return total_loss(scaled)
+
+        Z = jax.lax.map(one, xy, batch_size=chunk)
+        return Z.reshape(points, points)
+
+    return jax.jit(surface)
+
+
 def perturb_weight_directions(params, rng: np.random.RandomState):
     """``perturb_weight`` (`Detection/attack_algo.py:296-319`): one random
     direction per parameter, globally L2-normalized; 'normalize' layers

@@ -54,6 +54,39 @@ class TestRobustEval:
         np.testing.assert_allclose(vals, [5.0, 8.0, 13.0], rtol=1e-6)
 
 
+class TestInputSurface:
+    def test_alp_grid_semantics(self):
+        """Legacy ALP probe (`Detection/py/evaluator_alp_zzy.py:131-186`):
+        grid shape, finite losses off-center, and the reference's own
+        0/0 NaN at the x=y=0 cell are all reproduced."""
+        from afan.eval.robustness import make_input_surface_fn
+        from afan.models.frcnn import FasterRCNN, FRCNNConfig
+        from afan.train.detect_loop import detection_tx
+        from afan.train.loop import TrainState
+
+        cfg = FRCNNConfig(backbone="resnet18", num_classes=4,
+                          train_pre_nms_top_n=128, train_post_nms_top_n=32,
+                          roi_samples=8, roi_fg_cap=2, rpn_samples=16,
+                          rpn_fg_cap=8, anchor_sizes=(32, 64))
+        m = FasterRCNN(cfg=cfg)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                           jnp.float32)
+        gtb = jnp.asarray([[[8., 8, 40, 40]]])
+        gtc = jnp.asarray([[2]], jnp.int32)
+        gtv = jnp.asarray([[True]])
+        vs = m.init({"params": jax.random.PRNGKey(0)}, imgs, gtb, gtc, gtv,
+                    jax.random.PRNGKey(1), method=m.losses)
+        state = TrainState.create(vs, detection_tx(lambda c: 0.0))
+        fn = make_input_surface_fn(m, extent=0.1, points=4, chunk=4)
+        Z = np.asarray(fn(state, imgs, gtb, gtc, gtv, jax.random.PRNGKey(2)))
+        assert Z.shape == (4, 4)
+        # grid is arange(-.1, .1, .05): center cell (x=y=0) is [2, 2]
+        center = Z[2, 2]
+        off = np.delete(Z.reshape(-1), 2 * 4 + 2)
+        assert np.all(np.isfinite(off)) and np.all(off > 0)
+        assert np.isnan(center)  # reference parity: 0/0 rescale at origin
+
+
 class TestObserve:
     def test_scalar_writer_jsonl(self, tmp_path):
         from afan.utils.observe import ScalarWriter
