@@ -95,6 +95,12 @@ def get_parser():
                         "fits and runs faster without it)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard image ROWS over this many devices in "
+                        "addition to batch DP (2-D data x spatial mesh; "
+                        "XLA inserts conv halo exchanges). Use when the "
+                        "per-device batch can't go below 1. crop_size "
+                        "must divide by it.")
     p.add_argument("--limit_itrs", type=int, default=0)
     # training-time image panels (`Segmentation/args.py` --enable_vis /
     # --vis_num_samples; visdom replaced by PNG triptychs under runs/)
@@ -151,10 +157,21 @@ def main(argv=None):
         Log.i(f"ImageNet backbone loaded (params {fp:.1%}, stats {fs:.1%}) "
               f"from {args.pretrained_backbone}")
 
-    mesh = make_mesh(args.num_devices)
-    check_divisible(args.batch_size, mesh)
+    if args.spatial_shards > 1:
+        from ..parallel.mesh import make_mesh_2d
+        n_total = args.num_devices or jax.device_count()
+        mesh = make_mesh_2d(n_total // args.spatial_shards,
+                            args.spatial_shards)
+        check_divisible(args.batch_size * args.spatial_shards, mesh)
+        if args.crop_size % args.spatial_shards:
+            raise SystemExit("--crop_size must divide by --spatial_shards")
+        Log.i(f"2-D mesh: data={mesh.shape['data']} x "
+              f"spatial={mesh.shape['spatial']}")
+    else:
+        mesh = make_mesh(args.num_devices)
+        check_divisible(args.batch_size, mesh)
+        Log.i(f"data-parallel over {mesh.size} device(s)")
     state = replicate_state(mesh, state)
-    Log.i(f"data-parallel over {mesh.size} device(s)")
 
     cur_itrs, best_score = 0, 0.0
     if args.ckpt and os.path.isfile(args.ckpt):
@@ -253,7 +270,13 @@ def main(argv=None):
     while cur_itrs < total:
         for imgs, labs in train_loader:
             cur_itrs += 1
-            xb, yb = shard_batch(mesh, jnp.asarray(imgs), jnp.asarray(labs))
+            if args.spatial_shards > 1:
+                from ..parallel.mesh import shard_batch_spatial
+                xb, yb = shard_batch_spatial(mesh, jnp.asarray(imgs),
+                                             jnp.asarray(labs))
+            else:
+                xb, yb = shard_batch(mesh, jnp.asarray(imgs),
+                                     jnp.asarray(labs))
             state, metrics = step(state, xb, yb,
                                   jax.random.fold_in(rng, cur_itrs))
             interval_loss += float(metrics["loss"])

@@ -37,9 +37,56 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(data: int, spatial: int,
+                 devices: Optional[Sequence] = None,
+                 axis_names: Sequence[str] = ("data", "spatial")) -> Mesh:
+    """2-D ``data x spatial`` mesh for spatially-sharded training.
+
+    Beyond-reference capability (SURVEY.md §5 flags it as the honest TPU
+    analog of scaling the long axis): activations of very large crops are
+    sharded over image ROWS in addition to the batch. Convolutions under
+    GSPMD get their halo exchanges inserted by XLA automatically, BN batch
+    statistics reduce over both mesh axes, and the gradient psum rides the
+    full mesh — no manual collectives. Use when the per-device batch can't
+    go below 1 (e.g. b4 Cityscapes 768+ crops on small-HBM chips).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: data * spatial])
+    if devices.size != data * spatial:
+        raise ValueError(
+            f"need {data * spatial} devices for a {data}x{spatial} mesh, "
+            f"have {devices.size}")
+    return Mesh(devices.reshape(data, spatial), tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def spatial_sharding(mesh: Mesh, data_axis: str = "data",
+                     spatial_axis: str = "spatial") -> NamedSharding:
+    """Batch over ``data``, image rows (NHWC / NHW axis 1) over
+    ``spatial``."""
+    return NamedSharding(mesh, P(data_axis, spatial_axis))
+
+
+def shard_batch_spatial(mesh: Mesh, *arrays, data_axis: str = "data",
+                        spatial_axis: str = "spatial"):
+    """Place host arrays on a 2-D mesh: leading axis over ``data``, the
+    row axis (axis 1: H for NHWC images and NHW label maps) over
+    ``spatial``. H must divide by the spatial mesh dim."""
+    sh = spatial_sharding(mesh, data_axis, spatial_axis)
+    n_sp = mesh.shape[spatial_axis]
+    out = []
+    for a in arrays:
+        if a.shape[1] % n_sp != 0:
+            raise ValueError(
+                f"row dim {a.shape[1]} not divisible by {n_sp} spatial "
+                f"shards")
+        out.append(jax.device_put(a, sh))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -77,6 +77,62 @@ class TestMesh:
         np.testing.assert_array_equal(np.asarray(gx), x)
         assert gx.addressable_shards[0].data.shape[0] == 2  # 16/8 devices
 
+    def test_seg_spatial_step_matches_single_device(self):
+        """2-D data x spatial mesh (beyond-reference, SURVEY §5 'spatial
+        sharding of activations'): the seg A-FAN step with image ROWS
+        sharded over ICI must match the unsharded step — XLA inserts the
+        conv halo exchanges and makes BN statistics global."""
+        from afan.models.deeplab import build_model
+        from afan.parallel.mesh import make_mesh_2d, shard_batch_spatial
+        from afan.train.optim import poly_schedule
+        from afan.train.segment_loop import (SegAfanConfig,
+                                             make_afan_seg_step,
+                                             segmentation_tx)
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 4, (2, 64, 64)))
+        key0 = jax.random.PRNGKey(0)
+        vs = m.init({"params": key0, "dropout": key0}, x[:1], False)
+        tx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+        cfg = SegAfanConfig(tap_se=2, sd="concat", spectrum=3,
+                            mix_mask=(0, 0, 1), mix_sd=True)
+        step = make_afan_seg_step(m, tx, cfg)
+        key = jax.random.PRNGKey(7)
+
+        s1 = TrainState.create(vs, tx)
+        s1, m1 = step(s1, x, y, key)
+
+        mesh = make_mesh_2d(2, 4)  # batch 2 over data, 64 rows over 4
+        s24 = replicate_state(mesh, TrainState.create(vs, tx))
+        xb, yb = shard_batch_spatial(mesh, x, y)
+        assert xb.addressable_shards[0].data.shape == (1, 16, 64, 3)
+        s24, m24 = step(s24, xb, yb, replicate_state(mesh, key))
+
+        # (rtol 1e-4: spatially-sharded BN/loss reductions reassociate
+        # float32 sums across 4 row shards)
+        np.testing.assert_allclose(float(m1["loss"]), float(m24["loss"]),
+                                   rtol=1e-4)
+        # (atol 5e-4: beyond reduction-order noise, the PGD ascent takes
+        # sign(grad) — a last-bit gradient difference near zero flips a
+        # sign and moves that feature element by a full gamma, which the
+        # update then propagates into isolated O(1e-4) param deltas)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s24.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-4)
+        for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                        jax.tree.leaves(s24.batch_stats)):
+            assert b.sharding.is_fully_replicated
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-4)
+
+    def test_shard_batch_spatial_rejects_indivisible(self):
+        from afan.parallel.mesh import make_mesh_2d, shard_batch_spatial
+        mesh = make_mesh_2d(2, 4)
+        with pytest.raises(ValueError):
+            shard_batch_spatial(mesh, np.zeros((2, 30, 8, 3), np.float32))
+
     def test_seg_dp_step_matches_single_device(self):
         """Seg A-FAN under DP: mutable batch_stats must be GLOBAL-batch
         statistics (replicated), and params/stats must match the
