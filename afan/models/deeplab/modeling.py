@@ -74,13 +74,23 @@ class DeepLab(nn.Module):
         always exported (`network/backbone/resnet.py:201-253`)."""
         return self.backbone.head(x, tap, train, with_low_level=True)
 
+    def forward_tail_logits(self, feat, low_level, tap: int,
+                            train: bool = False):
+        """:meth:`forward_tail` WITHOUT the final upsample — the os4
+        logits. Exists so callers that batch several tail forwards (the
+        spectrum) can hoist the resize OUT of a ``vmap``: a vmapped
+        ``jax.image.resize`` lowers catastrophically on TPU (measured
+        148x slower than the identical resize flattened into the batch
+        axis — scripts/microbench_resize_ce.py)."""
+        out = self.backbone.tail(feat, tap, 4, train)
+        return self.classifier(out, low_level, train)
+
     def forward_tail(self, x_shape, feat, low_level, tap: int,
                      train: bool = False):
         """int out_idx + flag='tail': backbone tail from the adversarial
         feature, full decoder, upsample to input size
         (`network/utils.py:22-30` + `resnet.py:255-286`)."""
-        out = self.backbone.tail(feat, tap, 4, train)
-        logits = self.classifier(out, low_level, train)
+        logits = self.forward_tail_logits(feat, low_level, tap, train)
         return resize_bilinear(logits, (x_shape[1], x_shape[2]))
 
     def low_level_feature(self, x, train: bool = False):

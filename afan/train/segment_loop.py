@@ -24,6 +24,7 @@ import optax
 from ..core.afn import mix_feature
 from ..core.attack import pgd, uniform_init
 from ..core.spectrum import sample_points
+from ..models.deeplab.heads import resize_bilinear
 from ..models.deeplab.modeling import DeepLab, segmentation_param_labels
 from .loop import TrainState, _apply_updates
 from .optim import sgd
@@ -309,14 +310,31 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                                   method=model.low_level_feature,
                                   rngs={"dropout": r_clean})[0]
 
-            def one_tail(f, r):
-                return criterion(
-                    tap_tail_logits(vs, f, cfg.tap_se, r, ll_diff), labels)
+            # Spectrum tails: the NETWORK part stays vmapped (per-point
+            # BN batch statistics, exactly the reference's separate
+            # forwards), but the final upsample + CE is flattened into
+            # the batch axis — a vmapped jax.image.resize is a measured
+            # 148x TPU pathology (scripts/microbench_resize_ce.py; this
+            # hoist took the city-768 step from 458 to ~250 ms).
+            # sum_i mean_pixels(nll_i) == (S-1) * mean over the flattened
+            # batch exactly, because every point shares `labels` (same
+            # valid-pixel count per point).
+            def one_tail_logits(f, r):
+                out = model.apply(vs, f, ll_diff, cfg.tap_se, True,
+                                  mutable=["batch_stats"],
+                                  method=model.forward_tail_logits,
+                                  rngs={"dropout": r})
+                return out[0]
             if cfg.remat_tails:
-                one_tail = jax.checkpoint(one_tail)
+                one_tail_logits = jax.checkpoint(one_tail_logits)
             spec_rngs = jax.random.split(r_spec, n_spec - 1)
-            tail_losses = jax.vmap(one_tail)(spec_feats, spec_rngs)
-            l_adv = jnp.sum(tail_losses)
+            lg = jax.vmap(one_tail_logits)(spec_feats, spec_rngs)
+            lg_flat = lg.reshape((-1,) + lg.shape[2:])
+            hi = resize_bilinear(lg_flat,
+                                 (images.shape[1], images.shape[2]))
+            labels_t = jnp.tile(labels,
+                                (n_spec - 1,) + (1,) * (labels.ndim - 1))
+            l_adv = (n_spec - 1) * criterion(hi, labels_t)
 
             if cfg.sd is not None:
                 # recompute the SD head differentiably w.r.t. params with
