@@ -105,9 +105,15 @@ class DeepLab(nn.Module):
 
     # ---------- clean forward ----------
 
-    def __call__(self, x, train: bool = False):
+    def forward_logits(self, x, train: bool = False):
+        """Clean forward WITHOUT the final upsample (os4 logits) — lets
+        the train step fold every loss site into one flattened resize+CE
+        (see forward_tail_logits docstring for why)."""
         out, low_level = self.backbone.head(x, 4, train, with_low_level=True)
-        logits = self.classifier(out, low_level, train)
+        return self.classifier(out, low_level, train)
+
+    def __call__(self, x, train: bool = False):
+        logits = self.forward_logits(x, train)
         return resize_bilinear(logits, (x.shape[1], x.shape[2]))
 
     # ---------- SD taps (decoder features) ----------
@@ -144,18 +150,23 @@ class DeepLab(nn.Module):
         return feat_se, low_level, {"adv": adv, "low_level": low_level,
                                     "out": out}
 
+    def sd_tail_logits(self, sd_dict: Dict[str, Any], which: str,
+                       adv_feature: Optional[jnp.ndarray] = None,
+                       train: bool = False):
+        """:meth:`sd_tail` without the final upsample (os4 logits)."""
+        adv = adv_feature if adv_feature is not None else sd_dict["adv"]
+        if which == "aspp":
+            return self.classifier.aspp_tail(adv, sd_dict["low_level"],
+                                             train)
+        if which == "concat":
+            return self.classifier.concat_tail(adv, train)
+        raise ValueError(f"unknown sd tap {which!r}")
+
     def sd_tail(self, sd_dict: Dict[str, Any], which: str, x_shape,
                 adv_feature: Optional[jnp.ndarray] = None,
                 train: bool = False):
         """out_idx='<which>_tail' (`network/utils.py:38-45`)."""
-        adv = adv_feature if adv_feature is not None else sd_dict["adv"]
-        if which == "aspp":
-            logits = self.classifier.aspp_tail(adv, sd_dict["low_level"],
-                                               train)
-        elif which == "concat":
-            logits = self.classifier.concat_tail(adv, train)
-        else:
-            raise ValueError(f"unknown sd tap {which!r}")
+        logits = self.sd_tail_logits(sd_dict, which, adv_feature, train)
         return resize_bilinear(logits, (x_shape[1], x_shape[2]))
 
 

@@ -42,6 +42,22 @@ def seg_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
         jnp.sum(mask), 1)
 
 
+def _per_entry_loss_sums(logits, labels, use_focal: bool,
+                         alpha: float = 1.0, gamma: float = 2.0,
+                         ignore_index: int = 255) -> jnp.ndarray:
+    """Per-batch-entry sums of the masked per-pixel loss — the building
+    block that lets several loss sites share ONE resize+CE on a
+    flattened batch: each site's reference loss is its entries' sum
+    divided by the (shared) valid-pixel count of `labels`."""
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    val = alpha * (1 - jnp.exp(-ce)) ** gamma * ce if use_focal else ce
+    return jnp.sum(jnp.where(mask, val, 0.0),
+                   axis=tuple(range(1, val.ndim)))
+
+
 def seg_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                    alpha: float = 1.0, gamma: float = 2.0,
                    ignore_index: int = 255) -> jnp.ndarray:
@@ -97,6 +113,13 @@ class SegAfanConfig:
     # wins without it: 163 -> 153 ms (512 crop b4), 485 -> 464 ms
     # (Cityscapes 768 crop b4). Turn ON for larger batch/crop.
     remat_tails: bool = False
+    # fold every loss site's upsample+CE into ONE flattened call (vs one
+    # resize+CE per site, the spectrum block still internally flattened).
+    # Both are exact (identical losses on-chip); an interleaved
+    # same-process A/B measured unfold FASTER (768: 317.5 vs 324.1 ms;
+    # 512: 129.3 vs 137.3) — one giant (k*b,H,W,C) resize+CE overlaps
+    # worse than per-site instances.
+    fold_sites: bool = False
     # 'final' (.7/.1 rule) | 'sat_preset' (`main_aug_sat_advt.py:189-200`:
     # 1 mean, 2: .5/.25, 3: .8/.1, 4: .9/.05) | 'multi_preset'
     # (`main_aug_muti_advt.py`: 1: .8 l0 + .04 others, 2: .6/.08)
@@ -292,13 +315,23 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             spec_feats.append(p)
         spec_feats = jnp.stack(spec_feats, axis=0)
 
-        # (6) combined loss
+        # (6) combined loss. Every loss site yields os4 logits; the
+        # final upsample+CE runs OUTSIDE any vmap, per site (default) or
+        # folded into one flattened call (cfg.fold_sites). A vmapped
+        # jax.image.resize+CE is a measured TPU pathology — a 2-point
+        # vmapped instance costs 184.6 ms vs 1.25 ms flattened
+        # (scripts/microbench_resize_ce.py); hoisting it out of the
+        # spectrum vmap took the city-768 step 458 -> ~317 ms.
+        # Exactness: each site's reference loss is
+        # mean-over-valid-pixels with the SAME labels, so site loss ==
+        # (its entries' loss-sum) / (shared valid count) — see
+        # _per_entry_loss_sums.
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
             logits0, updates = model.apply(vs, images_l0, True,
                                            mutable=["batch_stats"],
+                                           method=model.forward_logits,
                                            rngs={"dropout": r_clean})
-            l0 = criterion(logits0, labels)
 
             # the reference keeps low_level UNDETACHED in the loss graph
             # (`main_aug_final.py:169,214-215`): the tail losses backprop
@@ -312,13 +345,7 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
             # Spectrum tails: the NETWORK part stays vmapped (per-point
             # BN batch statistics, exactly the reference's separate
-            # forwards), but the final upsample + CE is flattened into
-            # the batch axis — a vmapped jax.image.resize is a measured
-            # 148x TPU pathology (scripts/microbench_resize_ce.py; this
-            # hoist took the city-768 step from 458 to ~250 ms).
-            # sum_i mean_pixels(nll_i) == (S-1) * mean over the flattened
-            # batch exactly, because every point shares `labels` (same
-            # valid-pixel count per point).
+            # forwards); only the resize+CE leaves the vmap.
             def one_tail_logits(f, r):
                 out = model.apply(vs, f, ll_diff, cfg.tap_se, True,
                                   mutable=["batch_stats"],
@@ -329,13 +356,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                 one_tail_logits = jax.checkpoint(one_tail_logits)
             spec_rngs = jax.random.split(r_spec, n_spec - 1)
             lg = jax.vmap(one_tail_logits)(spec_feats, spec_rngs)
-            lg_flat = lg.reshape((-1,) + lg.shape[2:])
-            hi = resize_bilinear(lg_flat,
-                                 (images.shape[1], images.shape[2]))
-            labels_t = jnp.tile(labels,
-                                (n_spec - 1,) + (1,) * (labels.ndim - 1))
-            l_adv = (n_spec - 1) * criterion(hi, labels_t)
 
+            parts = [logits0, lg.reshape((-1,) + lg.shape[2:])]
             if cfg.sd is not None:
                 # recompute the SD head differentiably w.r.t. params with
                 # the same rng, then classify the adversarial feature —
@@ -344,19 +366,44 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                                   mutable=["batch_stats"],
                                   method=model.sd_head,
                                   rngs={"dropout": r_sd})[0]
-                logits_sd = model.apply(vs, sdd, cfg.sd, images.shape,
-                                        adv_sd, True,
-                                        mutable=["batch_stats"],
-                                        method=model.sd_tail,
-                                        rngs={"dropout": r_sd})[0]
-                l_sd = criterion(logits_sd, labels)
+                parts.append(model.apply(vs, sdd, cfg.sd, adv_sd, True,
+                                         mutable=["batch_stats"],
+                                         method=model.sd_tail_logits,
+                                         rngs={"dropout": r_sd})[0])
+            for tap, a in extra_advs:
+                parts.append(model.apply(vs, a, ll_diff, tap, True,
+                                         mutable=["batch_stats"],
+                                         method=model.forward_tail_logits,
+                                         rngs={"dropout": r_spec})[0])
+
+            bsz = labels.shape[0]
+            npix = jnp.maximum(jnp.sum(labels != 255), 1)
+            size = (images.shape[1], images.shape[2])
+
+            def site_groups(lo_logits):
+                """(k*bsz, h, w, C) os4 logits -> (k,) per-site losses."""
+                hi = resize_bilinear(lo_logits, size)
+                reps = lo_logits.shape[0] // bsz
+                labels_t = jnp.tile(labels,
+                                    (reps,) + (1,) * (labels.ndim - 1))
+                sums = _per_entry_loss_sums(hi, labels_t, cfg.use_focal)
+                return jnp.sum(sums.reshape(reps, bsz), axis=1) / npix
+
+            if cfg.fold_sites:
+                group = site_groups(jnp.concatenate(parts, axis=0))
+            else:
+                group = jnp.concatenate([site_groups(p) for p in parts])
+
+            l0 = group[0]
+            l_adv = jnp.sum(group[1:n_spec])
+            idx = n_spec
+            if cfg.sd is not None:
+                l_sd = group[idx]
+                idx += 1
             else:
                 l_sd = 0.0
-
-            l_multi = 0.0
-            for tap, a in extra_advs:
-                l_multi = l_multi + criterion(
-                    tap_tail_logits(vs, a, tap, r_spec, ll_diff), labels)
+            l_multi = (jnp.sum(group[idx:]) if len(extra_advs)
+                       else 0.0)
 
             n_adv = (n_spec - 1) + len(extra_advs) + (1 if cfg.sd else 0)
             if cfg.weight_mode == "sat_preset":

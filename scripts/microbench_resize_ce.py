@@ -156,6 +156,48 @@ def main():
 
     bench("I flat(2b) resize+CE fwd+bwd", body_flat)
 
+    # J/K: params-backward context (the step's remaining ~30 ms/site
+    # penalty at the non-vmapped clean/SD sites): logits produced by a
+    # 1x1 conv whose WEIGHTS carry the grad, CE at high (J) vs low (K)
+    # resolution. If J-K reproduces ~30 ms the penalty is in the
+    # conv-backward-through-resize composition, not the resize op.
+    x0 = jnp.asarray(np.random.RandomState(3).rand(B, h, w, 256) * 2 - 1,
+                     jnp.bfloat16)
+    labels_lo = labels[:, ::S, ::S]
+
+    def bench_w(name, hi_res):
+        def scan_fn(wk, _):
+            def loss(wkk):
+                lg = jax.lax.conv_general_dilated(
+                    x0, wkk, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if hi_res:
+                    return seg_cross_entropy(resize_hi(lg), labels)
+                return seg_cross_entropy(lg, labels_lo)
+            g = jax.grad(loss)(wk)
+            return wk - 1e-3 * g, None
+
+        w0 = jnp.asarray(
+            np.random.RandomState(4).rand(1, 1, 256, C) * 0.1,
+            jnp.bfloat16)
+
+        @jax.jit
+        def run(wk):
+            out, _ = jax.lax.scan(scan_fn, wk, None, length=100)
+            return jnp.sum(out)
+
+        compiled = run.lower(w0).compile()
+        _ = float(compiled(w0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v = float(compiled(w0))
+            best = min(best, (time.perf_counter() - t0 - 0.035) / 100)
+        print(f"{name:34s}: {best * 1e3:7.2f} ms/iter", flush=True)
+
+    bench_w("J conv+resize+CE wgrad", True)
+    bench_w("K conv+CE(lowres) wgrad", False)
+
 
 if __name__ == "__main__":
     main()

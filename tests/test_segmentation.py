@@ -189,6 +189,37 @@ class TestSegAfanStep:
         b = state.params["classifier"]["aspp"]["b0"]["conv"]["kernel"]
         assert not bool(jnp.allclose(a, b))
 
+    def test_fold_sites_formulations_match(self):
+        """fold_sites=True/False are the same math (one flattened
+        resize+CE vs per-site instances) — losses must agree."""
+        from afan.models.deeplab import build_model
+        from afan.train.loop import TrainState
+        from afan.train.optim import poly_schedule
+        from afan.train.segment_loop import (SegAfanConfig,
+                                             make_afan_seg_step,
+                                             segmentation_tx)
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3),
+                        jnp.float32)
+        y = np.random.RandomState(1).randint(0, 4, (2, 32, 32))
+        y[0, :4] = 255  # exercise the ignore mask in the shared npix
+        y = jnp.asarray(y)
+        rng = jax.random.PRNGKey(0)
+        vs = m.init({"params": rng, "dropout": rng}, x, False)
+        tx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+        losses = {}
+        for fold in (True, False):
+            cfg = SegAfanConfig(tap_se=2, sd="concat", spectrum=3,
+                                mix_mask=(0, 0, 1), mix_sd=True,
+                                fold_sites=fold)
+            step = make_afan_seg_step(m, tx, cfg)
+            _, metrics = step(TrainState.create(vs, tx), x, y,
+                              jax.random.PRNGKey(3))
+            losses[fold] = {k: float(v) for k, v in metrics.items()}
+        for k in losses[True]:
+            np.testing.assert_allclose(losses[True][k], losses[False][k],
+                                       rtol=1e-5, err_msg=k)
+
     def test_spectrum_losses_backprop_through_low_level(self):
         """Reference fidelity: `main_aug_final.py:169,214-215` passes
         low_level UNDETACHED into the spectrum tail forwards, so their
