@@ -1,0 +1,208 @@
+"""Fused bilinear-upsample + cross-entropy Pallas kernel.
+
+THE segmentation hot op: every loss site in the A-FAN seg step ends with
+``resize_bilinear(logits, (H, W))`` followed by a masked cross-entropy
+(`Segmentation/network/utils.py:22-30` upsample + the trainers'
+``nn.CrossEntropyLoss(ignore_index=255)``). In the composed XLA graph
+each such site costs ~30 ms at city-768 geometry (b4) even though the
+isolated op pair costs 0.5 ms (scripts/microbench_resize_ce.py;
+optimization barriers, einsum resweeps, layout changes all measured
+no-ops) — the (B, H, W, C) tensor and its cotangent dominate HBM
+scheduling. This kernel never materializes it:
+
+* H-axis upsample runs as a plain XLA einsum to a (B, H, C, w)
+  float32 intermediate (~22 MB at 768 — 16x smaller than the full
+  tensor in f32);
+* the Pallas kernel W-upsamples one (TH, C, w) row-tile at a time on
+  the MXU (``(TH*C, w) @ (w, W)``), computes the masked NLL on the
+  VPU in f32, and accumulates per-batch-entry loss SUMS — compatible
+  with `afan.train.segment_loop._per_entry_loss_sums` semantics;
+* the custom-VJP backward recomputes the tile, forms
+  ``g * mask * (softmax - onehot)`` in-register and contracts it
+  straight back to the w-axis — the full-resolution cotangent never
+  exists either.
+
+Weights follow torch's ``align_corners=False`` convention, identical to
+``jax.image.resize(..., 'linear')`` (parity-tested to float tolerance).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+IGNORE = 255
+
+
+def bilinear_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Dense (n_out, n_in) align_corners=False bilinear weights — the
+    exact map computed by `jax.image.resize(..., 'linear')` and torch
+    `F.interpolate(..., 'bilinear', align_corners=False)`."""
+    scale = n_out / n_in
+    out = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        src = (i + 0.5) / scale - 0.5
+        lo = int(np.floor(src))
+        frac = src - lo
+        for tap, wt in ((lo, 1.0 - frac), (lo + 1, frac)):
+            t = min(max(tap, 0), n_in - 1)
+            out[i, t] += wt
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _mats(n_out: int, n_in: int):
+    m = bilinear_matrix(n_out, n_in)
+    return jnp.asarray(m), jnp.asarray(np.ascontiguousarray(m.T))
+
+
+def _row_tile(H: int) -> int:
+    for th in (8, 4, 2, 1):
+        if H % th == 0:
+            return th
+    return 1
+
+
+def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref):
+    """One (TH, C, w) row-tile -> partial masked-NLL sum for entry b."""
+    a = up_ref[0].astype(jnp.float32)                      # (TH, C, w)
+    th, C, w = a.shape
+    hi = jnp.dot(a.reshape(th * C, w), rwt_ref[:],
+                 preferred_element_type=jnp.float32)       # (TH*C, W)
+    hi = hi.reshape(th, C, -1)
+    m = jnp.max(hi, axis=1)                                # (TH, W)
+    e = jnp.exp(hi - m[:, None, :])
+    lse = m + jnp.log(jnp.sum(e, axis=1))
+    lab = lab_ref[0]                                       # (TH, W)
+    pick = jnp.zeros_like(lse)
+    for c in range(C):
+        pick += jnp.where(lab == c, hi[:, c, :], 0.0)
+    nll = jnp.where(lab != IGNORE, lse - pick, 0.0)
+    partial = jnp.sum(nll)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, 0] = partial
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + partial
+
+
+def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref):
+    """grad wrt the (TH, C, w) tile: contract g*(softmax-onehot) back
+    through the W-upsample."""
+    a = up_ref[0].astype(jnp.float32)
+    th, C, w = a.shape
+    hi = jnp.dot(a.reshape(th * C, w), rwt_ref[:],
+                 preferred_element_type=jnp.float32)
+    hi = hi.reshape(th, C, -1)
+    m = jnp.max(hi, axis=1)
+    e = jnp.exp(hi - m[:, None, :])
+    s = jnp.sum(e, axis=1)                                 # (TH, W)
+    lab = lab_ref[0]
+    gmask = jnp.where(lab != IGNORE, g_ref[0, 0], 0.0)     # (TH, W)
+    soft = e / s[:, None, :]                               # (TH, C, W)
+    onehot = jnp.stack([(lab == c).astype(jnp.float32)
+                        for c in range(C)], axis=1)        # (TH, C, W)
+    ghi = (soft - onehot) * gmask[:, None, :]
+    W = ghi.shape[-1]
+    dup = jnp.dot(ghi.reshape(th * C, W), rw_ref[:],
+                  preferred_element_type=jnp.float32)      # (TH*C, w)
+    dup_ref[0] = dup.reshape(th, C, w)
+
+
+def _pallas_sums(upT, rwt, labels, interpret: bool):
+    B, H, C, w = upT.shape
+    W = labels.shape[2]
+    TH = _row_tile(H)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda b, t: (b, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        interpret=interpret,
+    )(upT, rwt, labels)
+
+
+def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool):
+    B, H, C, w = upT.shape
+    W = labels.shape[2]
+    TH = _row_tile(H)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, w), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, w), jnp.float32),
+        interpret=interpret,
+    )(upT, rwt, rw, labels, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_resize_nll_sums(lo, labels, out_size, interpret=False):
+    """Per-batch-entry sums of the 255-masked NLL of
+    ``resize_bilinear(lo, out_size)`` against ``labels`` — without
+    materializing the upsampled tensor. Differentiable w.r.t. ``lo``.
+
+    lo: (B, h, w, C) float logits; labels: (B, H, W) int32.
+    Returns (B,) float32. Interp + CE run in float32 regardless of the
+    logits dtype (the reference's torch path is f32 end-to-end).
+    """
+    return _fwd_impl(lo, labels, out_size, interpret)[0]
+
+
+def _fwd_impl(lo, labels, out_size, interpret):
+    H, W = out_size
+    B, h, w, C = lo.shape
+    RH, _ = _mats(H, h)
+    RW, RWT = _mats(W, w)
+    up = jnp.einsum("Hp,bpqc->bHqc", RH, lo.astype(jnp.float32))
+    upT = jnp.transpose(up, (0, 1, 3, 2))            # (B, H, C, w)
+    sums = _pallas_sums(upT, RWT, labels, interpret)[:, 0]
+    return sums, (upT, labels)
+
+
+def _fwd_rule(lo, labels, out_size, interpret):
+    sums, res = _fwd_impl(lo, labels, out_size, interpret)
+    return sums, (res[0], res[1], lo)
+
+
+def _bwd_rule(out_size, interpret, residuals, g):
+    upT, labels, lo = residuals
+    H, W = out_size
+    RH, _ = _mats(H, lo.shape[1])
+    RW, RWT = _mats(W, lo.shape[2])
+    dupT = _pallas_grad(upT, RWT, RW, labels,
+                        g.astype(jnp.float32).reshape(-1, 1), interpret)
+    dup = jnp.transpose(dupT, (0, 1, 3, 2))          # (B, H, w, C)
+    dlo = jnp.einsum("Hp,bHqc->bpqc", RH, dup)
+    return dlo.astype(lo.dtype), None
+
+
+fused_resize_nll_sums.defvjp(_fwd_rule, _bwd_rule)

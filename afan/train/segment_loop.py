@@ -15,7 +15,7 @@ canonical batch_stats update comes from the clean forward.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from ..core.attack import pgd, uniform_init
 from ..core.spectrum import sample_points
 from ..models.deeplab.heads import resize_bilinear
 from ..models.deeplab.modeling import DeepLab, segmentation_param_labels
+from ..ops.kernels.resize_ce_kernel import fused_resize_nll_sums
 from .loop import TrainState, _apply_updates
 from .optim import sgd
 
@@ -120,6 +121,14 @@ class SegAfanConfig:
     # 512: 129.3 vs 137.3) — one giant (k*b,H,W,C) resize+CE overlaps
     # worse than per-site instances.
     fold_sites: bool = False
+    # fused Pallas upsample+CE (ops/kernels/resize_ce_kernel.py) on every
+    # loss/ascent site: a composed XLA resize+CE site costs ~30 ms at
+    # city-768 vs 0.5 ms isolated (scheduling pathology, ROADMAP); the
+    # kernel never materializes the (N,H,W,C) tensor. Interp+CE in f32
+    # (the reference's torch precision). 'auto' = on TPU when the
+    # criterion is plain CE; True forces (interpret mode off-TPU), False
+    # keeps the XLA path.
+    fused_ce: Any = "auto"
     # 'final' (.7/.1 rule) | 'sat_preset' (`main_aug_sat_advt.py:189-200`:
     # 1 mean, 2: .5/.25, 3: .8/.1, 4: .9/.05) | 'multi_preset'
     # (`main_aug_muti_advt.py`: 1: .8 l0 + .04 others, 2: .6/.08)
@@ -203,20 +212,40 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
     n_spec = cfg.spectrum
     assert len(cfg.mix_mask) == n_spec
     criterion = seg_focal_loss if cfg.use_focal else seg_cross_entropy
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused = (not cfg.use_focal
+                 and (cfg.fused_ce is True
+                      or (cfg.fused_ce == "auto" and on_tpu)))
+    fused_interpret = not on_tpu
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
         (r_se, r_sd, r_clean, r_spec, r_noise,
          r_inp) = jax.random.split(rng, 6)
 
+        size = (images.shape[1], images.shape[2])
+        npix = jnp.maximum(jnp.sum(labels != 255), 1)
+
+        if use_fused:
+            def site_loss(lo_logits):
+                """Mean masked loss of the upsampled os4 logits — fused
+                Pallas upsample+CE kernel."""
+                return jnp.sum(fused_resize_nll_sums(
+                    lo_logits, labels, size, fused_interpret)) / npix
+        else:
+            def site_loss(lo_logits):
+                """XLA path: upsample then criterion."""
+                return criterion(resize_bilinear(lo_logits, size), labels)
+
         # input-adv image for the *_advt variants
         images_l0 = images
         if cfg.input_adv:
             def inp_loss(x):
-                logits = model.apply(variables, x, True,
-                                     mutable=["batch_stats"],
-                                     rngs={"dropout": r_inp})[0]
-                return criterion(logits, labels)
+                lo = model.apply(variables, x, True,
+                                 mutable=["batch_stats"],
+                                 method=model.forward_logits,
+                                 rngs={"dropout": r_inp})[0]
+                return site_loss(lo)
             adv_img = pgd(inp_loss, images, steps=cfg.input_adv_steps,
                           gamma=cfg.input_adv_gamma, eps=cfg.input_adv_eps,
                           randinit=True, clip=True, rng=r_inp)
@@ -244,10 +273,10 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
         feat_se = jax.lax.stop_gradient(feat_se)
         low_level = jax.lax.stop_gradient(low_level)
 
-        def tap_tail_logits(vs, f, tap, r, ll):
-            out = model.apply(vs, images.shape, f, ll, tap,
-                              True, mutable=["batch_stats"],
-                              method=model.forward_tail,
+        def tap_tail_lo(vs, f, tap, r, ll):
+            out = model.apply(vs, f, ll, tap, True,
+                              mutable=["batch_stats"],
+                              method=model.forward_tail_logits,
                               rngs={"dropout": r})
             return out[0]
 
@@ -255,9 +284,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
         # only (autograd.grad(loss, x_adv)), so the detached low_level is
         # exact here
         def se_loss(f):
-            return criterion(
-                tap_tail_logits(variables, f, cfg.tap_se, r_se, low_level),
-                labels)
+            return site_loss(
+                tap_tail_lo(variables, f, cfg.tap_se, r_se, low_level))
 
         adv_se = pgd(se_loss, feat_se, steps=cfg.steps, gamma=cfg.gamma_se,
                      eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
@@ -274,9 +302,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             f_t = jax.lax.stop_gradient(f_t)
 
             def t_loss(f, tap=tap):
-                return criterion(
-                    tap_tail_logits(variables, f, tap, r_se, low_level),
-                    labels)
+                return site_loss(
+                    tap_tail_lo(variables, f, tap, r_se, low_level))
             a = pgd(t_loss, f_t, steps=cfg.steps, gamma=g, eps=cfg.eps,
                     randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
             extra_advs.append((tap, jax.lax.stop_gradient(a)))
@@ -288,12 +315,11 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
             sd_clean = sd_dict["adv"]
 
             def sd_loss(f):
-                logits = model.apply(variables, sd_dict, cfg.sd,
-                                     images.shape, f, True,
-                                     mutable=["batch_stats"],
-                                     method=model.sd_tail,
-                                     rngs={"dropout": r_sd})[0]
-                return criterion(logits, labels)
+                lo = model.apply(variables, sd_dict, cfg.sd, f, True,
+                                 mutable=["batch_stats"],
+                                 method=model.sd_tail_logits,
+                                 rngs={"dropout": r_sd})[0]
+                return site_loss(lo)
 
             adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
                          gamma=cfg.gamma_sd, eps=cfg.eps,
@@ -377,16 +403,19 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                                          rngs={"dropout": r_spec})[0])
 
             bsz = labels.shape[0]
-            npix = jnp.maximum(jnp.sum(labels != 255), 1)
-            size = (images.shape[1], images.shape[2])
 
             def site_groups(lo_logits):
                 """(k*bsz, h, w, C) os4 logits -> (k,) per-site losses."""
-                hi = resize_bilinear(lo_logits, size)
                 reps = lo_logits.shape[0] // bsz
                 labels_t = jnp.tile(labels,
                                     (reps,) + (1,) * (labels.ndim - 1))
-                sums = _per_entry_loss_sums(hi, labels_t, cfg.use_focal)
+                if use_fused:
+                    sums = fused_resize_nll_sums(lo_logits, labels_t,
+                                                 size, fused_interpret)
+                else:
+                    hi = resize_bilinear(lo_logits, size)
+                    sums = _per_entry_loss_sums(hi, labels_t,
+                                                cfg.use_focal)
                 return jnp.sum(sums.reshape(reps, bsz), axis=1) / npix
 
             if cfg.fold_sites:
