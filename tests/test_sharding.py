@@ -77,6 +77,7 @@ class TestMesh:
         np.testing.assert_array_equal(np.asarray(gx), x)
         assert gx.addressable_shards[0].data.shape[0] == 2  # 16/8 devices
 
+    @pytest.mark.slow
     def test_seg_spatial_step_matches_single_device(self):
         """2-D data x spatial mesh (beyond-reference, SURVEY §5 'spatial
         sharding of activations'): the seg A-FAN step with image ROWS
@@ -133,6 +134,7 @@ class TestMesh:
         with pytest.raises(ValueError):
             shard_batch_spatial(mesh, np.zeros((2, 30, 8, 3), np.float32))
 
+    @pytest.mark.slow
     def test_seg_dp_step_matches_single_device(self):
         """Seg A-FAN under DP: mutable batch_stats must be GLOBAL-batch
         statistics (replicated), and params/stats must match the
