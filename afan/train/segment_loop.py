@@ -141,16 +141,40 @@ class SegAfanConfig:
     input_adv_eps: float = 2.0 / 255
 
 
-def make_seg_base_step(model: DeepLab, tx):
+def _resolve_fused(fused_ce, use_focal: bool):
+    """(use_fused, interpret) for the fused upsample+CE kernel."""
+    on_tpu = jax.default_backend() == "tpu"
+    use = (not use_focal
+           and (fused_ce is True or (fused_ce == "auto" and on_tpu)))
+    return use, not on_tpu
+
+
+def _make_site_loss(use_fused: bool, interpret: bool, criterion,
+                    labels, size):
+    """Mean masked loss of upsampled os4 logits — fused Pallas kernel
+    or the XLA resize+criterion (see resize_ce_kernel.py for why)."""
+    if use_fused:
+        npix = jnp.maximum(jnp.sum(labels != 255), 1)
+        return lambda lo: jnp.sum(
+            fused_resize_nll_sums(lo, labels, size, interpret)) / npix
+    return lambda lo: criterion(resize_bilinear(lo, size), labels)
+
+
+def make_seg_base_step(model: DeepLab, tx, fused_ce="auto"):
     """`main_ori.py` baseline step."""
+    use_fused, interp = _resolve_fused(fused_ce, False)
 
     def step_fn(state: TrainState, images, labels, rng):
+        site_loss = _make_site_loss(
+            use_fused, interp, seg_cross_entropy, labels,
+            (images.shape[1], images.shape[2]))
+
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
-            logits, updates = model.apply(
+            lo, updates = model.apply(
                 vs, images, True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
-            return seg_cross_entropy(logits, labels), updates
+                method=model.forward_logits, rngs={"dropout": rng})
+            return site_loss(lo), updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -164,18 +188,23 @@ def make_seg_base_step(model: DeepLab, tx):
 
 def make_seg_advtrain_step(model: DeepLab, tx, steps: int = 3,
                            gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
-                           randinit: bool = True):
+                           randinit: bool = True, fused_ce="auto"):
     """`main_advtrain.py:185-200`: input PGD, train on adversarial loss."""
+    use_fused, interp = _resolve_fused(fused_ce, False)
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
         r_attack, r_loss, r_init = jax.random.split(rng, 3)
+        site_loss = _make_site_loss(
+            use_fused, interp, seg_cross_entropy, labels,
+            (images.shape[1], images.shape[2]))
 
         def input_loss(x):
-            logits = model.apply(variables, x, True,
-                                 mutable=["batch_stats"],
-                                 rngs={"dropout": r_attack})[0]
-            return seg_cross_entropy(logits, labels)
+            lo = model.apply(variables, x, True,
+                             mutable=["batch_stats"],
+                             method=model.forward_logits,
+                             rngs={"dropout": r_attack})[0]
+            return site_loss(lo)
 
         adv = pgd(input_loss, images, steps=steps, gamma=gamma, eps=eps,
                   randinit=randinit, rng=r_init)
@@ -183,10 +212,11 @@ def make_seg_advtrain_step(model: DeepLab, tx, steps: int = 3,
 
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
-            logits, updates = model.apply(vs, adv, True,
-                                          mutable=["batch_stats"],
-                                          rngs={"dropout": r_loss})
-            return seg_cross_entropy(logits, labels), updates
+            lo, updates = model.apply(vs, adv, True,
+                                      mutable=["batch_stats"],
+                                      method=model.forward_logits,
+                                      rngs={"dropout": r_loss})
+            return site_loss(lo), updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -212,11 +242,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
     n_spec = cfg.spectrum
     assert len(cfg.mix_mask) == n_spec
     criterion = seg_focal_loss if cfg.use_focal else seg_cross_entropy
-    on_tpu = jax.default_backend() == "tpu"
-    use_fused = (not cfg.use_focal
-                 and (cfg.fused_ce is True
-                      or (cfg.fused_ce == "auto" and on_tpu)))
-    fused_interpret = not on_tpu
+    use_fused, fused_interpret = _resolve_fused(cfg.fused_ce,
+                                                cfg.use_focal)
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
@@ -225,17 +252,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
         size = (images.shape[1], images.shape[2])
         npix = jnp.maximum(jnp.sum(labels != 255), 1)
-
-        if use_fused:
-            def site_loss(lo_logits):
-                """Mean masked loss of the upsampled os4 logits — fused
-                Pallas upsample+CE kernel."""
-                return jnp.sum(fused_resize_nll_sums(
-                    lo_logits, labels, size, fused_interpret)) / npix
-        else:
-            def site_loss(lo_logits):
-                """XLA path: upsample then criterion."""
-                return criterion(resize_bilinear(lo_logits, size), labels)
+        site_loss = _make_site_loss(use_fused, fused_interpret, criterion,
+                                    labels, size)
 
         # input-adv image for the *_advt variants
         images_l0 = images
