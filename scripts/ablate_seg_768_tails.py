@@ -9,18 +9,20 @@ term, and the composed-step TF/s regression at 768 (29 → 22) is exactly
 where the resize+CE bytes grow 2.25x.
 
 This script times a simplified A-FAN-shaped step (clean + spectrum-2
-tails + SD tail, 1-step PGD ascents, city-final AFN flags) in two
-variants at 768/b4/os16/bf16/remat-off:
+tails + SD tail, 1-step PGD ascents, city-final AFN flags) at
+768/b4/os16/bf16/remat-off with the upsample+CE togglable PER SITE
+(`resize` dict: clean / ascent / spec; value True = reference
+semantics, False = CE at os4 against 4x-subsampled labels, 'chfirst' =
+full-res CE in NCHW layout).
 
-  * resize   — reference semantics: logits upsampled to 768^2, CE there
-  * lowres   — identical graph but CE at the os4 logits resolution
-               (192^2) against 4x-subsampled labels
+MEASURED (the bisect that found the round-3 root cause):
+  all-resize 458.5 ms, all-lowres 220.1, resize@clean-only 250.7
+  (+30.6), resize@ascent-only 220.1 (+0), resize@spec-only 431.1
+  (+211 — the vmapped resize+CE pathology, since fixed in
+  segment_loop + ops/kernels/resize_ce_kernel.py); chfirst made no
+  difference. See scripts/microbench_resize_ce.py and ROADMAP.md.
 
-plus the plain baseline step in the same two variants. If `lowres`
-recovers the missing TF/s, the fix is a faster resize/CE formulation;
-if not, the resize hypothesis is falsified like the memory one.
-
-Run: python scripts/ablate_seg_768_tails.py   (~12 min incl. compiles)
+Run: python scripts/ablate_seg_768_tails.py   (~15 min incl. compiles)
 """
 import os
 import sys
