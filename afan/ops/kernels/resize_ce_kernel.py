@@ -55,9 +55,16 @@ def bilinear_matrix(n_out: int, n_in: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _mats(n_out: int, n_in: int):
+def _mats_np(n_out: int, n_in: int):
     m = bilinear_matrix(n_out, n_in)
-    return jnp.asarray(m), jnp.asarray(np.ascontiguousarray(m.T))
+    return m, np.ascontiguousarray(m.T)
+
+
+def _mats(n_out: int, n_in: int):
+    # NOTE: cache numpy, convert per use — caching jnp arrays here leaks
+    # them across jit traces (UnexpectedTracerError under a mesh).
+    m, mt = _mats_np(n_out, n_in)
+    return jnp.asarray(m), jnp.asarray(mt)
 
 
 def _row_tile(H: int) -> int:

@@ -86,6 +86,38 @@ class TestFusedResizeCE:
 
 
 class TestStepWithFusedCE:
+    @pytest.mark.slow
+    def test_fused_step_under_dp_mesh(self):
+        """The kernel must trace cleanly under a sharded jit (regression:
+        lru-cached jnp weight constants leaked tracers across traces) and
+        match the single-device loss."""
+        from afan.models.deeplab import build_model
+        from afan.parallel.mesh import make_mesh, replicate_state, \
+            shard_batch
+        from afan.train.loop import TrainState
+        from afan.train.optim import poly_schedule
+        from afan.train.segment_loop import (SegAfanConfig,
+                                             make_afan_seg_step,
+                                             segmentation_tx)
+        m = build_model("deeplabv3plus_mobilenet", 4, 16)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 4, (8, 32, 32)))
+        key0 = jax.random.PRNGKey(0)
+        vs = m.init({"params": key0, "dropout": key0}, x[:1], False)
+        tx = segmentation_tx(poly_schedule(0.01, 100), 0.9, 1e-4)
+        step = make_afan_seg_step(m, tx, SegAfanConfig(
+            tap_se=2, sd="concat", spectrum=3, mix_mask=(0, 0, 1),
+            mix_sd=True, fused_ce=True))
+        s1 = TrainState.create(vs, tx)
+        s1, m1 = step(s1, x, y, jax.random.PRNGKey(7))
+        mesh = make_mesh()
+        s8 = replicate_state(mesh, TrainState.create(vs, tx))
+        xb, yb = shard_batch(mesh, x, y)
+        s8, m8 = step(s8, xb, yb, replicate_state(mesh,
+                                                  jax.random.PRNGKey(7)))
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-4)
     def test_step_losses_match_xla_path(self):
         """make_afan_seg_step(fused_ce=True) == (fused_ce=False) on the
         same f32 model/batch (kernel math is f32; XLA path f32 here)."""
