@@ -74,8 +74,10 @@ def _row_tile(H: int) -> int:
     return 1
 
 
-def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref):
-    """One (TH, C, w) row-tile -> partial masked-NLL sum for entry b."""
+def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref, *, focal):
+    """One (TH, C, w) row-tile -> partial masked-loss sum for entry b.
+    ``focal``: None for plain NLL, else the (alpha, gamma) of
+    `segment_loop.seg_focal_loss`."""
     a = up_ref[0].astype(jnp.float32)                      # (TH, C, w)
     th, C, w = a.shape
     hi = jnp.dot(a.reshape(th * C, w), rwt_ref[:],
@@ -88,7 +90,11 @@ def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref):
     pick = jnp.zeros_like(lse)
     for c in range(C):
         pick += jnp.where(lab == c, hi[:, c, :], 0.0)
-    nll = jnp.where(lab != IGNORE, lse - pick, 0.0)
+    ce = lse - pick
+    if focal is not None:
+        alpha, gamma = focal
+        ce = alpha * (1.0 - jnp.exp(-ce)) ** gamma * ce
+    nll = jnp.where(lab != IGNORE, ce, 0.0)
     partial = jnp.sum(nll)
 
     @pl.when(pl.program_id(1) == 0)
@@ -100,9 +106,11 @@ def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref):
         out_ref[0, 0] = out_ref[0, 0] + partial
 
 
-def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref):
-    """grad wrt the (TH, C, w) tile: contract g*(softmax-onehot) back
-    through the W-upsample."""
+def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref, *,
+                focal):
+    """grad wrt the (TH, C, w) tile: contract
+    g * d(loss)/d(ce) * (softmax - onehot) back through the
+    W-upsample (d(ce)/d(hi_c) = softmax_c - onehot_c)."""
     a = up_ref[0].astype(jnp.float32)
     th, C, w = a.shape
     hi = jnp.dot(a.reshape(th * C, w), rwt_ref[:],
@@ -116,6 +124,17 @@ def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref):
     soft = e / s[:, None, :]                               # (TH, C, W)
     onehot = jnp.stack([(lab == c).astype(jnp.float32)
                         for c in range(C)], axis=1)        # (TH, C, W)
+    if focal is not None:
+        alpha, gamma = focal
+        lse = m + jnp.log(s)
+        pick = jnp.sum(hi * onehot, axis=1)                # (TH, W)
+        ce = lse - pick
+        E = jnp.exp(-ce)
+        omE = 1.0 - E
+        # d[alpha * omE**gamma * ce]/d ce
+        dfdce = alpha * (omE ** gamma
+                         + ce * gamma * omE ** (gamma - 1.0) * E)
+        gmask = gmask * dfdce
     ghi = (soft - onehot) * gmask[:, None, :]
     W = ghi.shape[-1]
     dup = jnp.dot(ghi.reshape(th * C, W), rw_ref[:],
@@ -123,12 +142,12 @@ def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref):
     dup_ref[0] = dup.reshape(th, C, w)
 
 
-def _pallas_sums(upT, rwt, labels, interpret: bool):
+def _pallas_sums(upT, rwt, labels, interpret: bool, focal):
     B, H, C, w = upT.shape
     W = labels.shape[2]
     TH = _row_tile(H)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, focal=focal),
         grid=(B, H // TH),
         in_specs=[
             pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
@@ -145,12 +164,12 @@ def _pallas_sums(upT, rwt, labels, interpret: bool):
     )(upT, rwt, labels)
 
 
-def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool):
+def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool, focal):
     B, H, C, w = upT.shape
     W = labels.shape[2]
     TH = _row_tile(H)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, focal=focal),
         grid=(B, H // TH),
         in_specs=[
             pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
@@ -171,42 +190,46 @@ def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool):
     )(upT, rwt, rw, labels, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_resize_nll_sums(lo, labels, out_size, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_resize_nll_sums(lo, labels, out_size, interpret=False,
+                          focal=None):
     """Per-batch-entry sums of the 255-masked NLL of
     ``resize_bilinear(lo, out_size)`` against ``labels`` — without
     materializing the upsampled tensor. Differentiable w.r.t. ``lo``.
 
     lo: (B, h, w, C) float logits; labels: (B, H, W) int32.
+    ``focal``: None for plain CE, or the (alpha, gamma) tuple of
+    `segment_loop.seg_focal_loss`.
     Returns (B,) float32. Interp + CE run in float32 regardless of the
     logits dtype (the reference's torch path is f32 end-to-end).
     """
-    return _fwd_impl(lo, labels, out_size, interpret)[0]
+    return _fwd_impl(lo, labels, out_size, interpret, focal)[0]
 
 
-def _fwd_impl(lo, labels, out_size, interpret):
+def _fwd_impl(lo, labels, out_size, interpret, focal):
     H, W = out_size
     B, h, w, C = lo.shape
     RH, _ = _mats(H, h)
     RW, RWT = _mats(W, w)
     up = jnp.einsum("Hp,bpqc->bHqc", RH, lo.astype(jnp.float32))
     upT = jnp.transpose(up, (0, 1, 3, 2))            # (B, H, C, w)
-    sums = _pallas_sums(upT, RWT, labels, interpret)[:, 0]
+    sums = _pallas_sums(upT, RWT, labels, interpret, focal)[:, 0]
     return sums, (upT, labels)
 
 
-def _fwd_rule(lo, labels, out_size, interpret):
-    sums, res = _fwd_impl(lo, labels, out_size, interpret)
+def _fwd_rule(lo, labels, out_size, interpret, focal):
+    sums, res = _fwd_impl(lo, labels, out_size, interpret, focal)
     return sums, (res[0], res[1], lo)
 
 
-def _bwd_rule(out_size, interpret, residuals, g):
+def _bwd_rule(out_size, interpret, focal, residuals, g):
     upT, labels, lo = residuals
     H, W = out_size
     RH, _ = _mats(H, lo.shape[1])
     RW, RWT = _mats(W, lo.shape[2])
     dupT = _pallas_grad(upT, RWT, RW, labels,
-                        g.astype(jnp.float32).reshape(-1, 1), interpret)
+                        g.astype(jnp.float32).reshape(-1, 1), interpret,
+                        focal)
     dup = jnp.transpose(dupT, (0, 1, 3, 2))          # (B, H, w, C)
     dlo = jnp.einsum("Hp,bHqc->bpqc", RH, dup)
     return dlo.astype(lo.dtype), None

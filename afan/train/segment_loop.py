@@ -124,10 +124,10 @@ class SegAfanConfig:
     # fused Pallas upsample+CE (ops/kernels/resize_ce_kernel.py) on every
     # loss/ascent site: a composed XLA resize+CE site costs ~30 ms at
     # city-768 vs 0.5 ms isolated (scheduling pathology, ROADMAP); the
-    # kernel never materializes the (N,H,W,C) tensor. Interp+CE in f32
-    # (the reference's torch precision). 'auto' = on TPU when the
-    # criterion is plain CE; True forces (interpret mode off-TPU), False
-    # keeps the XLA path.
+    # kernel never materializes the (N,H,W,C) tensor and supports both
+    # plain CE and the focal criterion. Interp+CE in f32 (the
+    # reference's torch precision). 'auto' = on TPU; True forces
+    # (interpret mode off-TPU), False keeps the XLA path.
     fused_ce: Any = "auto"
     # 'final' (.7/.1 rule) | 'sat_preset' (`main_aug_sat_advt.py:189-200`:
     # 1 mean, 2: .5/.25, 3: .8/.1, 4: .9/.05) | 'multi_preset'
@@ -142,31 +142,30 @@ class SegAfanConfig:
 
 
 def _resolve_fused(fused_ce, use_focal: bool):
-    """(use_fused, interpret) for the fused upsample+CE kernel."""
+    """(use_fused, interpret, focal) for the fused upsample+CE kernel."""
     on_tpu = jax.default_backend() == "tpu"
-    use = (not use_focal
-           and (fused_ce is True or (fused_ce == "auto" and on_tpu)))
-    return use, not on_tpu
+    use = fused_ce is True or (fused_ce == "auto" and on_tpu)
+    return use, not on_tpu, ((1.0, 2.0) if use_focal else None)
 
 
-def _make_site_loss(use_fused: bool, interpret: bool, criterion,
+def _make_site_loss(use_fused: bool, interpret: bool, focal, criterion,
                     labels, size):
     """Mean masked loss of upsampled os4 logits — fused Pallas kernel
     or the XLA resize+criterion (see resize_ce_kernel.py for why)."""
     if use_fused:
         npix = jnp.maximum(jnp.sum(labels != 255), 1)
-        return lambda lo: jnp.sum(
-            fused_resize_nll_sums(lo, labels, size, interpret)) / npix
+        return lambda lo: jnp.sum(fused_resize_nll_sums(
+            lo, labels, size, interpret, focal)) / npix
     return lambda lo: criterion(resize_bilinear(lo, size), labels)
 
 
 def make_seg_base_step(model: DeepLab, tx, fused_ce="auto"):
     """`main_ori.py` baseline step."""
-    use_fused, interp = _resolve_fused(fused_ce, False)
+    use_fused, interp, _focal = _resolve_fused(fused_ce, False)
 
     def step_fn(state: TrainState, images, labels, rng):
         site_loss = _make_site_loss(
-            use_fused, interp, seg_cross_entropy, labels,
+            use_fused, interp, None, seg_cross_entropy, labels,
             (images.shape[1], images.shape[2]))
 
         def loss_fn(params):
@@ -190,13 +189,13 @@ def make_seg_advtrain_step(model: DeepLab, tx, steps: int = 3,
                            gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
                            randinit: bool = True, fused_ce="auto"):
     """`main_advtrain.py:185-200`: input PGD, train on adversarial loss."""
-    use_fused, interp = _resolve_fused(fused_ce, False)
+    use_fused, interp, _focal = _resolve_fused(fused_ce, False)
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
         r_attack, r_loss, r_init = jax.random.split(rng, 3)
         site_loss = _make_site_loss(
-            use_fused, interp, seg_cross_entropy, labels,
+            use_fused, interp, None, seg_cross_entropy, labels,
             (images.shape[1], images.shape[2]))
 
         def input_loss(x):
@@ -242,8 +241,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
     n_spec = cfg.spectrum
     assert len(cfg.mix_mask) == n_spec
     criterion = seg_focal_loss if cfg.use_focal else seg_cross_entropy
-    use_fused, fused_interpret = _resolve_fused(cfg.fused_ce,
-                                                cfg.use_focal)
+    use_fused, fused_interpret, fused_focal = _resolve_fused(
+        cfg.fused_ce, cfg.use_focal)
 
     def step_fn(state: TrainState, images, labels, rng):
         variables = state.variables()
@@ -252,8 +251,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
         size = (images.shape[1], images.shape[2])
         npix = jnp.maximum(jnp.sum(labels != 255), 1)
-        site_loss = _make_site_loss(use_fused, fused_interpret, criterion,
-                                    labels, size)
+        site_loss = _make_site_loss(use_fused, fused_interpret,
+                                    fused_focal, criterion, labels, size)
 
         # input-adv image for the *_advt variants
         images_l0 = images
@@ -429,7 +428,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                                     (reps,) + (1,) * (labels.ndim - 1))
                 if use_fused:
                     sums = fused_resize_nll_sums(lo_logits, labels_t,
-                                                 size, fused_interpret)
+                                                 size, fused_interpret,
+                                                 fused_focal)
                 else:
                     hi = resize_bilinear(lo_logits, size)
                     sums = _per_entry_loss_sums(hi, labels_t,

@@ -66,6 +66,27 @@ class TestFusedResizeCE:
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    atol=1e-4, rtol=1e-3)
 
+    @pytest.mark.parametrize("case", CASES[:2])
+    def test_focal_forward_and_grad_match_xla(self, case):
+        """focal=(alpha,gamma) reproduces seg_focal_loss semantics
+        (`Segmentation/utils/loss.py:5-20`) including the backward."""
+        B, h, w, C, H, W = case
+        rng = np.random.RandomState(5)
+        lo = jnp.asarray(rng.randn(B, h, w, C), jnp.float32)
+        lab = rng.randint(0, C, (B, H, W))
+        lab[0, 0] = 255
+        lab = jnp.asarray(lab, jnp.int32)
+        ref = _per_entry_loss_sums(resize_bilinear(lo, (H, W)), lab, True)
+        got = fused_resize_nll_sums(lo, lab, (H, W), True, (1.0, 2.0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5)
+        g_ref = jax.grad(lambda x: jnp.sum(_per_entry_loss_sums(
+            resize_bilinear(x, (H, W)), lab, True)))(lo)
+        g_got = jax.grad(lambda x: jnp.sum(fused_resize_nll_sums(
+            x, lab, (H, W), True, (1.0, 2.0))))(lo)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
     def test_bf16_logits_upcast(self):
         """bf16 logits: the kernel interps+CEs in f32 (reference torch
         precision) — must be close to the f32 XLA computation, and the
