@@ -99,11 +99,19 @@ def main(argv=None):
     if args.task == "pgd":
         variables_eval = state.variables()
 
+        from ..train.segment_loop import _make_site_loss, _resolve_fused
+        use_fused, interp, _ = _resolve_fused("auto", False)
+
         @jax.jit
         def attack(images, labels, rng):
+            site_loss = _make_site_loss(
+                use_fused, interp, None, seg_cross_entropy, labels,
+                (images.shape[1], images.shape[2]))
+
             def loss_fn(x):
-                logits = model.apply(variables_eval, x, False)
-                return seg_cross_entropy(logits, labels)
+                lo = model.apply(variables_eval, x, False,
+                                 method=model.forward_logits)
+                return site_loss(lo)
             return jnp.clip(pgd(loss_fn, images, steps=args.pgd_steps,
                                 gamma=args.pgd_gamma / 255,
                                 eps=args.pgd_eps / 255), 0.0, 1.0)
