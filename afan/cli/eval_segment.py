@@ -58,21 +58,39 @@ def main(argv=None):
                         "+ overlap-restored")
     p.add_argument("--save_val_results", action="store_true")
     p.add_argument("--results_dir", default="results")
-    # pgd flags (`args.py` eval section)
-    p.add_argument("--pgd_steps", type=int, default=3)
-    p.add_argument("--pgd_gamma", type=float, default=2.0)
-    p.add_argument("--pgd_eps", type=float, default=8.0)
+    # pgd flags (`args.py` eval section; reference names aliased)
+    p.add_argument("--pgd_steps", "--steps_pgd", type=int, default=3,
+                   dest="pgd_steps")
+    p.add_argument("--pgd_gamma", "--gamma_pgd", type=float, default=2.0,
+                   dest="pgd_gamma")
+    p.add_argument("--pgd_eps", "--eps_pgd", type=float, default=8.0,
+                   dest="pgd_eps")
+    p.add_argument("--randinit_pgd", action="store_true")
+    p.add_argument("--clip_pgd", action="store_true")
     p.add_argument("--limit_images", type=int, default=0)
+    p.add_argument("--crop_val", action="store_true",
+                   help="resize+center-crop val images to crop_size")
+    p.add_argument("--val_batch_size", type=int, default=1)
+    p.add_argument("--year", type=str, default="2012")
+    p.add_argument("--num_classes", type=int, default=None)
     args = p.parse_args(argv)
     Log.initialize()
 
-    loaders = (cityscapes_loaders if args.dataset == "cityscapes"
-               else voc_seg_loaders)
-    _, val_loader, num_classes = loaders(args.data_root, 1, args.crop_size)
+    if args.dataset == "cityscapes":
+        _, val_loader, num_classes = cityscapes_loaders(
+            args.data_root, 1, args.crop_size,
+            val_batch_size=args.val_batch_size, crop_val=args.crop_val)
+    else:
+        _, val_loader, num_classes = voc_seg_loaders(
+            args.data_root, 1, args.crop_size, year=args.year,
+            val_batch_size=args.val_batch_size, crop_val=args.crop_val)
+    if args.num_classes is not None:
+        num_classes = args.num_classes
 
     model = build_model(args.model, num_classes, args.output_stride)
     rng = jax.random.PRNGKey(0)
-    ch, cw = val_loader.eval_canvas or (args.crop_size, args.crop_size)
+    canvas = None if args.crop_val else val_loader.eval_canvas
+    ch, cw = canvas or (args.crop_size, args.crop_size)
     dummy = jnp.zeros((1, ch, cw, 3), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, dummy, False)
     tx = segmentation_tx(lambda c: 0.0)
@@ -114,7 +132,9 @@ def main(argv=None):
                 return site_loss(lo)
             return jnp.clip(pgd(loss_fn, images, steps=args.pgd_steps,
                                 gamma=args.pgd_gamma / 255,
-                                eps=args.pgd_eps / 255), 0.0, 1.0)
+                                eps=args.pgd_eps / 255,
+                                randinit=args.randinit_pgd,
+                                clip=args.clip_pgd, rng=rng), 0.0, 1.0)
 
     metrics = StreamSegMetrics(num_classes)
     palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"

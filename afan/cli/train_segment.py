@@ -108,6 +108,35 @@ def get_parser():
                    help="dump input|target|prediction panels at each "
                         "validation (the reference's visdom dashboard)")
     p.add_argument("--vis_num_samples", type=int, default=8)
+    # remaining reference `args.py` surface (drop-in compat)
+    p.add_argument("--mix_all", action="store_true",
+                   help="AFN every adversarial feature (multi variants; "
+                        "`main_aug_muti_advt.py:199-204`)")
+    p.add_argument("--test_only", type=str, default="",
+                   help="path to ckpt: restore, validate, exit "
+                        "(`args.py:17`)")
+    p.add_argument("--print_interval", type=int, default=10)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="override the dataset's class count")
+    p.add_argument("--year", type=str, default="2012",
+                   choices=["2012_aug", "2012", "2011", "2009", "2008",
+                            "2007"])
+    p.add_argument("--crop_val", action="store_true",
+                   help="resize+center-crop val images to crop_size")
+    p.add_argument("--val_batch_size", type=int, default=1)
+    p.add_argument("--download", action="store_true",
+                   help="reference flag; this environment has no egress "
+                        "— a warning is logged and the synthetic "
+                        "fallback applies when data is absent")
+    # accepted for reference-script compatibility; not applicable here
+    p.add_argument("--gpu_id", type=str, default=None,
+                   help="ignored (TPU; use --num_devices)")
+    p.add_argument("--vis_port", type=str, default=None,
+                   help="ignored (visdom replaced by --enable_vis panels)")
+    p.add_argument("--vis_env", type=str, default=None, help="ignored")
+    p.add_argument("--adv_type", type=str, default="baseline",
+                   help="accepted for compat (unused by the reference "
+                        "trainers too)")
     return p
 
 
@@ -122,14 +151,21 @@ def main(argv=None):
     Log.initialize(os.path.join(outdir, "train.log"))
     Log.i(f"args: {vars(args)}; save dir: [{exp}]")
 
+    if args.download:
+        Log.i("--download requested: this environment has no egress; "
+              "falling back to on-disk data or the synthetic pipeline")
     if args.dataset == "cityscapes":
         train_loader, val_loader, num_classes = cityscapes_loaders(
             args.data_root, args.batch_size, args.crop_size,
-            seed=args.random_seed)
+            seed=args.random_seed, val_batch_size=args.val_batch_size,
+            crop_val=args.crop_val)
     else:
         train_loader, val_loader, num_classes = voc_seg_loaders(
             args.data_root, args.batch_size, args.crop_size,
-            seed=args.random_seed)
+            year=args.year, seed=args.random_seed,
+            val_batch_size=args.val_batch_size, crop_val=args.crop_val)
+    if args.num_classes is not None:
+        num_classes = args.num_classes
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(args.model, num_classes, args.output_stride, dtype,
@@ -207,6 +243,8 @@ def main(argv=None):
         for i, ch in enumerate(args.mix_layer[:spectrum - 1]):
             if ch == "1":
                 mask[i + 1] = 1
+        if args.mix_all:
+            mask = [0] + [1] * (spectrum - 1)
         input_adv = args.variant != "afan" and not args.variant.endswith(
             "_clean")
         weight_mode = {"afan": "final", "sat": "sat_preset",
@@ -227,13 +265,31 @@ def main(argv=None):
             sd=None if args.pertub_idx_sd == "none" else args.pertub_idx_sd,
             steps=args.steps, gamma_se=gamma_se,
             gamma_sd=args.gamma_sd / 255, eps=args.eps / 255,
-            spectrum=spectrum, mix_mask=tuple(mask), mix_sd=args.mix_sd,
-            noise_sd=args.noise_sd, randinit=args.randinit, clip=args.clip,
+            spectrum=spectrum, mix_mask=tuple(mask),
+            mix_sd=args.mix_sd or args.mix_all,
+            noise_sd=args.noise_sd, mix_all=args.mix_all,
+            randinit=args.randinit, clip=args.clip,
             use_focal=args.loss_type == "focal_loss",
             weight_mode=weight_mode, loss_setting=args.loss_settings,
             input_adv=input_adv, remat_tails=args.remat_tails)
         step = make_afan_seg_step(model, tx, cfg)
     eval_step = make_seg_eval_step(model, num_classes)
+
+    if args.test_only:
+        saved = load_checkpoint(args.test_only)
+        params, frac = overlap_restore(state.params, saved["params"])
+        state = state.replace(params=params,
+                              batch_stats=saved.get("batch_stats",
+                                                    state.batch_stats))
+        Log.i(f"[test_only] restored {frac:.1%} from {args.test_only}")
+        metrics = StreamSegMetrics(num_classes)
+        for imgs, labs in val_loader:
+            _, hist = eval_step(state, jnp.asarray(imgs),
+                                jnp.asarray(labs))
+            metrics.update_hist(np.asarray(hist))
+        results = metrics.get_results()
+        Log.i(StreamSegMetrics.to_str(results))
+        return results
 
     if args.enable_vis:
         from ..data.seg_data import CITY_TRAIN_COLORS
@@ -282,10 +338,12 @@ def main(argv=None):
             interval_loss += float(metrics["loss"])
             writer.add_scalar("train/loss", float(metrics["loss"]),
                               cur_itrs)
-            if cur_itrs % 10 == 0:
+            if cur_itrs % args.print_interval == 0:
+                rate = (args.print_interval * args.batch_size
+                        / (time.time() - t0))
                 Log.i(f"Itrs {cur_itrs}/{total}, Loss="
-                      f"{interval_loss / 10:.4f} "
-                      f"({10 * args.batch_size / (time.time() - t0):.2f} "
+                      f"{interval_loss / args.print_interval:.4f} "
+                      f"({rate:.2f} "
                       f"imgs/sec)")
                 interval_loss = 0.0
                 t0 = time.time()

@@ -113,7 +113,8 @@ class SegLoader:
     def __init__(self, samples: Sequence[SegSample], batch_size: int,
                  num_classes: int, crop_size: int = 513, train: bool = True,
                  dataset: str = "voc", seed: int = 0,
-                 eval_canvas: Optional[Tuple[int, int]] = None):
+                 eval_canvas: Optional[Tuple[int, int]] = None,
+                 crop_val: bool = False):
         self.samples = list(samples)
         self.batch_size = batch_size
         self.num_classes = num_classes
@@ -122,6 +123,10 @@ class SegLoader:
         self.dataset = dataset
         self.rng = np.random.RandomState(seed)
         self.eval_canvas = eval_canvas
+        # reference --crop_val (`Segmentation/args.py:70,123-129`):
+        # resize shorter side to crop_size then center-crop, giving
+        # uniform val batches instead of canvas padding
+        self.crop_val = crop_val
         from .ext_transforms import (cityscapes_train_transform,
                                      voc_train_transform)
         self.transform = (voc_train_transform(crop_size)
@@ -141,6 +146,21 @@ class SegLoader:
     def _eval_item(self, s: SegSample):
         img, lab = _load_pair(s, self.num_classes,
                               size=(self.crop, self.crop))
+        if self.crop_val:
+            import cv2
+            h, w = lab.shape
+            scale = self.crop / min(h, w)
+            nh, nw = max(self.crop, int(round(h * scale))), \
+                max(self.crop, int(round(w * scale)))
+            if (nh, nw) != (h, w):
+                img = cv2.resize(img, (nw, nh),
+                                 interpolation=cv2.INTER_LINEAR)
+                lab = cv2.resize(lab.astype(np.int32), (nw, nh),
+                                 interpolation=cv2.INTER_NEAREST)
+            y0 = (nh - self.crop) // 2
+            x0 = (nw - self.crop) // 2
+            return (img[y0:y0 + self.crop, x0:x0 + self.crop],
+                    lab[y0:y0 + self.crop, x0:x0 + self.crop])
         if self.eval_canvas:
             ch, cw = self.eval_canvas
             h, w = lab.shape
@@ -174,7 +194,8 @@ def _find_voc_seg(data_root: str):
 
 def voc_seg_loaders(data_root: str, batch_size: int, crop_size: int = 513,
                     year: str = "2012", seed: int = 0,
-                    synthetic_fallback: bool = True):
+                    synthetic_fallback: bool = True,
+                    val_batch_size: int = 1, crop_val: bool = False):
     """VOC segmentation (with SBD train_aug if `train_aug.txt` exists,
     `datasets/voc.py:72-160`)."""
     root = _find_voc_seg(data_root) if data_root else None
@@ -203,14 +224,17 @@ def voc_seg_loaders(data_root: str, batch_size: int, crop_size: int = 513,
         canvas = (512, 512)
     return (SegLoader(train, batch_size, VOC_SEG_CLASSES, crop_size, True,
                       "voc", seed),
-            SegLoader(val, 1, VOC_SEG_CLASSES, crop_size, False, "voc",
-                      eval_canvas=canvas),
+            SegLoader(val, val_batch_size, VOC_SEG_CLASSES, crop_size,
+                      False, "voc",
+                      eval_canvas=None if crop_val else canvas,
+                      crop_val=crop_val),
             VOC_SEG_CLASSES)
 
 
 def cityscapes_loaders(data_root: str, batch_size: int,
                        crop_size: int = 768, seed: int = 0,
-                       synthetic_fallback: bool = True):
+                       synthetic_fallback: bool = True,
+                       val_batch_size: int = 1, crop_val: bool = False):
     img_root = os.path.join(data_root or "", "leftImg8bit")
     if not os.path.isdir(img_root):
         if not synthetic_fallback:
@@ -237,6 +261,8 @@ def cityscapes_loaders(data_root: str, batch_size: int,
         canvas = (1024, 2048)
     return (SegLoader(train, batch_size, CITYSCAPES_CLASSES, crop_size,
                       True, "cityscapes", seed),
-            SegLoader(val, 1, CITYSCAPES_CLASSES, crop_size, False,
-                      "cityscapes", eval_canvas=canvas),
+            SegLoader(val, val_batch_size, CITYSCAPES_CLASSES, crop_size,
+                      False, "cityscapes",
+                      eval_canvas=None if crop_val else canvas,
+                      crop_val=crop_val),
             CITYSCAPES_CLASSES)

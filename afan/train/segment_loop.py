@@ -104,6 +104,10 @@ class SegAfanConfig:
     spectrum: int = 3                  # sat spectrum (`:206-210`)
     mix_mask: Sequence[int] = (0, 0, 0)
     mix_sd: bool = False
+    # --mix_all (`main_aug_muti_advt.py:199-204`): AFN every extra-tap
+    # adversarial feature too (the CLI additionally sets mix_mask all-on
+    # and mix_sd, matching the reference's all-five mixing)
+    mix_all: bool = False
     noise_sd: float = 0.0
     clean_weight: float = 0.7          # loss = .7 l0 + .1 each (`:229`)
     adv_weight: float = 0.1
@@ -323,7 +327,10 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                     tap_tail_lo(variables, f, tap, r_se, low_level))
             a = pgd(t_loss, f_t, steps=cfg.steps, gamma=g, eps=cfg.eps,
                     randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
-            extra_advs.append((tap, jax.lax.stop_gradient(a)))
+            a = jax.lax.stop_gradient(a)
+            if cfg.mix_all:
+                a = mix_feature(f_t, a)
+            extra_advs.append((tap, a))
 
         # (3b) SD attack on the decoder feature (from the fused forward)
         adv_sd = None
