@@ -43,15 +43,30 @@ def get_parser():
     p.add_argument("--image_min_side", type=float, default=600.0)
     p.add_argument("--image_max_side", type=float, default=1000.0)
     p.add_argument("--anchor_sizes", type=str, default="[128, 256, 512]")
+    p.add_argument("--anchor_ratios", type=str,
+                   default="[(1, 2), (1, 1), (2, 1)]")
     p.add_argument("--rpn_pre_nms_top_n", type=int, default=6000)
     p.add_argument("--rpn_post_nms_top_n", type=int, default=300)
-    # robustness
-    p.add_argument("--pgd_steps", type=int, default=3)
-    p.add_argument("--pgd_gamma", type=float, default=2.0)
-    p.add_argument("--pgd_eps", type=float, default=8.0)
-    # sat layers
-    p.add_argument("--sat_tap", type=int, default=2)
+    p.add_argument("--convert", action="store_true",
+                   help="reference legacy-key remap flag (`model.py:420`);"
+                        " accepted — torch interop detects layouts itself")
+    # robustness (reference eval drivers name these --steps/--gamma/--eps)
+    p.add_argument("--pgd_steps", "--steps", type=int, default=3,
+                   dest="pgd_steps")
+    p.add_argument("--pgd_gamma", "--gamma", type=float, default=2.0,
+                   dest="pgd_gamma")
+    p.add_argument("--pgd_eps", "--eps", type=float, default=8.0,
+                   dest="pgd_eps")
+    # sat layers (`eval_sat_layers.py:42-49`)
+    p.add_argument("--sat_tap", "--pertub_idx", type=int, default=2,
+                   dest="sat_tap")
     p.add_argument("--sat_alpha", type=float, default=0.5)
+    p.add_argument("--sat_layer", type=int, default=None,
+                   help="spectrum index k of a --spectrum-point lerp: "
+                        "alpha = k/(spectrum-1) (overrides --sat_alpha)")
+    p.add_argument("--mix", action="store_true",
+                   help="AFN the interpolated feature with the clean "
+                        "stats (`evaluator.py:168-170` argument order)")
     # sat_vis (`train_sat_vis.py:129-138` feature dumps)
     p.add_argument("--spectrum", type=int, default=5)
     p.add_argument("--gamma_se", type=float, default=0.9)
@@ -72,6 +87,8 @@ def main(argv=None):
         dataset=args.dataset)
     cfg = FRCNNConfig(backbone=args.backbone, num_classes=num_classes,
                       anchor_sizes=tuple(ast.literal_eval(args.anchor_sizes)),
+                      anchor_ratios=tuple(
+                          ast.literal_eval(args.anchor_ratios)),
                       eval_pre_nms_top_n=args.rpn_pre_nms_top_n,
                       eval_post_nms_top_n=args.rpn_post_nms_top_n)
     model = FasterRCNN(cfg=cfg)
@@ -134,8 +151,12 @@ def main(argv=None):
         return mean_ap
 
     if args.task == "sat_layers":
-        detect = make_sat_layer_detect_fn(model, args.sat_tap,
-                                          args.sat_alpha)
+        alpha = (args.sat_alpha if args.sat_layer is None
+                 else args.sat_layer / max(args.spectrum - 1, 1))
+        detect = make_sat_layer_detect_fn(
+            model, args.sat_tap, alpha, attack_steps=args.pgd_steps,
+            gamma=args.pgd_gamma / 255, eps=args.pgd_eps / 255,
+            mix=args.mix)
         # custom loop (the attack needs gt, `evaluator.py:135-183`)
         all_ids, all_boxes, all_classes, all_probs = [], [], [], []
         for b in eval_loader:
@@ -166,8 +187,8 @@ def main(argv=None):
                 np.asarray(all_classes), np.asarray(all_probs))
         else:
             mean_ap = 0.0
-        Log.i(f"sat-layer (tap {args.sat_tap}, alpha {args.sat_alpha}) "
-              f"mean AP = {mean_ap:.4f}")
+        Log.i(f"sat-layer (tap {args.sat_tap}, alpha {alpha}, "
+              f"mix {args.mix}) mean AP = {mean_ap:.4f}")
         return mean_ap
 
     if args.task == "sat_vis":

@@ -51,6 +51,9 @@ def get_parser() -> argparse.ArgumentParser:
                    default="cifar10")
     p.add_argument("--print_freq", default=50, type=int)
     p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--gpu", default=None, type=str,
+                   help="accepted for reference-script compat; ignored "
+                        "(TPU)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save_dir", default="res56s_adv_aug", type=str)
     # optimizer (`main_perturb.py:36-42`)

@@ -62,6 +62,8 @@ def get_parser():
     p.add_argument("--image_min_side", type=float, default=600.0)
     p.add_argument("--image_max_side", type=float, default=1000.0)
     p.add_argument("--anchor_sizes", type=str, default="[128, 256, 512]")
+    p.add_argument("--anchor_ratios", type=str,
+                   default="[(1, 2), (1, 1), (2, 1)]")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=0.001)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -183,6 +185,7 @@ def main(argv=None):
     cfg = FRCNNConfig(
         backbone=args.backbone, num_classes=num_classes,
         anchor_sizes=tuple(ast.literal_eval(args.anchor_sizes)),
+        anchor_ratios=tuple(ast.literal_eval(args.anchor_ratios)),
         train_pre_nms_top_n=args.rpn_pre_nms_top_n,
         train_post_nms_top_n=args.rpn_post_nms_top_n,
         anchor_smooth_l1_beta=args.anchor_smooth_l1_loss_beta,

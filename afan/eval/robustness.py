@@ -75,11 +75,17 @@ def make_detection_pgd_fn(model, steps: int = 3, gamma: float = 2.0 / 255,
 
 def make_sat_layer_detect_fn(model, tap: int, alpha: float,
                              attack_steps: int = 1,
-                             gamma: float = 0.9 / 255):
+                             gamma: float = 0.9 / 255,
+                             eps: float = 2.0 / 255,
+                             mix: bool = False):
     """``sat_layer_evaluate`` (`Detection/evaluator.py:135-183`): build the
-    adversarial feature at ``tap``, interpolate clean→adv by ``alpha``,
-    then run eval detection FROM that feature. Returns a jitted
-    (state, images, gt...) → detections function."""
+    adversarial feature at ``tap``, interpolate clean→adv by ``alpha``
+    (``--sat_layer k`` of an N-point spectrum == alpha k/(N-1)), optionally
+    AFN the interpolated feature with the CLEAN feature's statistics —
+    the reference's ``--mix`` calls ``mix_feature(interp, feature_map)``
+    with the arguments in that (reversed vs training) order
+    (`evaluator.py:168-170`) — then run eval detection FROM that feature.
+    Returns a jitted (state, images, gt...) → detections function."""
 
     def detect(state, images, gt_boxes, gt_classes, gt_valid, rng):
         variables = state.variables()
@@ -92,8 +98,11 @@ def make_sat_layer_detect_fn(model, tap: int, alpha: float,
                                gt_valid, rng, tap, f,
                                method=model.losses).total()
 
-        adv = pgd(loss_fn, feat, steps=attack_steps, gamma=gamma)
+        adv = pgd(loss_fn, feat, steps=attack_steps, gamma=gamma, eps=eps)
         interp = feat + alpha * (adv - feat)
+        if mix:
+            from ..core.afn import mix_feature
+            interp = mix_feature(interp, feat)
         # eval path from the interpolated feature: tail to layer3, then the
         # standard eval detection head
         features = model.apply(variables, interp, tap, False,
