@@ -173,7 +173,12 @@ def main(argv=None):
                         backbone_remat=args.backbone_remat)
 
     total = args.limit_itrs or args.total_itrs
-    schedule = poly_schedule(args.lr, args.total_itrs, 0.9)
+    if args.lr_policy == "step":
+        # StepLR(step_size, gamma=0.1) (`main_aug_final.py:87`)
+        def schedule(count):
+            return args.lr * 0.1 ** (count // args.step_size)
+    else:
+        schedule = poly_schedule(args.lr, args.total_itrs, 0.9)
     tx = segmentation_tx(schedule, 0.9, args.weight_decay)
 
     rng = jax.random.PRNGKey(args.random_seed)
