@@ -109,7 +109,8 @@ def main(argv=None):
     p.add_argument("-b", "--backbone", default="resnet50")
     p.add_argument("--image_min_side", type=float, default=600.0)
     p.add_argument("--image_max_side", type=float, default=1000.0)
-    p.add_argument("-p", "--prob_thresh", type=float, default=0.6)
+    p.add_argument("-p", "--prob_thresh", "--probability_threshold",
+                   type=float, default=0.6, dest="prob_thresh")
     p.add_argument("--period", type=int, default=3,
                    help="stream frame-skip period (infer_stream.py)")
     args = p.parse_args(argv)

@@ -119,7 +119,8 @@ def get_parser():
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=0,
                    help="run mAP eval every N steps (0 = only at end)")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", "--random_seed", type=int, default=0,
+                   dest="seed")
     return p
 
 
