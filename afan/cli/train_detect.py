@@ -48,7 +48,9 @@ def get_parser():
     p = argparse.ArgumentParser(description="A-FAN TPU detection training")
     p.add_argument("--variant", choices=VARIANTS, default="afan")
     p.add_argument("-s", "--dataset", default="voc2007",
-                   choices=list(DETECTION_DATASETS))
+                   choices=list(DETECTION_DATASETS)
+                   + ["voc2007-cat-dog", "coco2017-person",
+                      "coco2017-car", "coco2017-animal"])
     p.add_argument("-b", "--backbone", default="resnet50",
                    choices=["resnet18", "resnet50", "resnet101"])
     p.add_argument("-d", "--data_dir", default="./data")

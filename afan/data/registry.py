@@ -19,6 +19,10 @@ def detection_loaders(name: str, data_dir: str, batch_size: int,
                       image_min_side: float, image_max_side: float,
                       seed: int = 0):
     """(train_loader, eval_loader, num_classes)."""
+    # the reference's OPTIONS hyphenate the subset names
+    # ('voc2007-cat-dog', 'coco2017-person', ... — base.py:20); accept
+    # both spellings
+    name = name.replace("-", "")
     if name not in DETECTION_DATASETS:
         raise ValueError(f"unknown dataset {name!r}; "
                          f"have {DETECTION_DATASETS}")
