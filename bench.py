@@ -179,11 +179,21 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
     state = TrainState.create(variables, tx)
     # city-final flags: SD concat gamma 1.5, SE tap 2 gamma .02, AFN mask
     # 01, mix_sd (`sh/city/clean50/091_city_final01.sh`)
-    step = make_afan_seg_step(model, tx, SegAfanConfig(
-        mix_mask=(0, 0, 1), mix_sd=True))
     # one compile, reused for timing (a second remote compile of the same
-    # program can transiently hang the tunneled runtime)
-    compiled = step.lower(state, images, labels, key).compile()
+    # program can transiently hang the tunneled runtime). If the fused
+    # upsample+CE kernel ever fails this backend's Mosaic, fall back to
+    # the XLA path rather than losing the metric.
+    try:
+        step = make_afan_seg_step(model, tx, SegAfanConfig(
+            mix_mask=(0, 0, 1), mix_sd=True))
+        compiled = step.lower(state, images, labels, key).compile()
+    except Exception:
+        import sys
+        print("seg bench: fused_ce compile failed; XLA fallback",
+              file=sys.stderr)
+        step = make_afan_seg_step(model, tx, SegAfanConfig(
+            mix_mask=(0, 0, 1), mix_sd=True, fused_ce=False))
+        compiled = step.lower(state, images, labels, key).compile()
     step_flops = None
     try:
         cost = compiled.cost_analysis()
@@ -343,10 +353,22 @@ def bench_alfa():
           imgs_per_sec / ALFA_A100_EST_IMGS_PER_SEC, min_value=batch / mn)
 
 
+def _guarded(fn):
+    """One failing section must not take down the others' metric lines
+    (e.g. a backend regression in one stack's compile)."""
+    import sys
+    import traceback
+    try:
+        fn()
+    except Exception:
+        print(f"bench section {fn.__name__} FAILED:", file=sys.stderr)
+        traceback.print_exc()
+
+
 def main():
-    bench_detection()
-    bench_segmentation()
-    bench_learnable()
+    _guarded(bench_detection)
+    _guarded(bench_segmentation)
+    _guarded(bench_learnable)
     bench_alfa()  # flagship metric printed last
 
 
