@@ -128,6 +128,24 @@ class TestMesh:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=5e-4)
 
+    @pytest.mark.slow
+    def test_train_segment_spatial_cli(self, tmp_path, monkeypatch):
+        """--spatial_shards end-to-end through the CLI on the 8-device
+        CPU mesh (2-D 4x2 mesh, 2 steps + a validation)."""
+        monkeypatch.chdir(tmp_path)
+        from afan.cli.train_segment import main
+        main(["--variant", "afan", "--dataset", "voc",
+              "--data_root", "/nonexistent",
+              "--model", "deeplabv3plus_mobilenet", "--crop_size", "32",
+              "--batch_size", "4", "--spatial_shards", "2",
+              "--limit_itrs", "2", "--val_interval", "2",
+              "--exp", "sptest"])
+        logs = list((tmp_path / "checkpoints").rglob("train.log"))
+        assert logs
+        text = logs[0].read_text()
+        assert "2-D mesh: data=4 x spatial=2" in text
+        assert "[Val] itrs 2" in text and "done; best mIoU" in text
+
     def test_shard_batch_spatial_rejects_indivisible(self):
         from afan.parallel.mesh import make_mesh_2d, shard_batch_spatial
         mesh = make_mesh_2d(2, 4)
