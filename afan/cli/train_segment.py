@@ -137,6 +137,10 @@ def get_parser():
     p.add_argument("--adv_type", type=str, default="baseline",
                    help="accepted for compat (unused by the reference "
                         "trainers too)")
+    p.add_argument("--input_adv", action="store_true",
+                   help="add the input-PGD l0 term to the flagship "
+                        "variant (legacy `py/main_aug_final_advtrain.py`;"
+                        " the sat/multi _advt variants imply it)")
     return p
 
 
@@ -250,8 +254,9 @@ def main(argv=None):
                 mask[i + 1] = 1
         if args.mix_all:
             mask = [0] + [1] * (spectrum - 1)
-        input_adv = args.variant != "afan" and not args.variant.endswith(
-            "_clean")
+        input_adv = args.input_adv or (
+            args.variant != "afan"
+            and not args.variant.endswith("_clean"))
         weight_mode = {"afan": "final", "sat": "sat_preset",
                        "multi": "multi_preset",
                        "sat_multi": "multi_preset"}[base]
