@@ -308,27 +308,34 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
                     r_noise, adv_sd.shape, cfg.gamma_sd * cfg.noise_sd)
 
         # (5) spectrum on the FIRST SE tap (`:117-126`); other taps (multi
-        # variant) contribute their single adv point.
-        spec = sample_points(se_feats[0], se_advs[0], n_spec)
-        mixed = []
-        for i in range(1, n_spec):  # point 0 (clean) is never forwarded
-            p = spec[i]
-            if cfg.mix_mask[i]:
-                p = mix_feature(se_feats[0], p)
-            mixed.append(p)
-        spec_feats = jnp.stack(mixed, axis=0)  # (n_spec-1, B, h, w, C)
+        # variant) contribute their single adv point. An SD-only config
+        # (taps_se=() — legacy `py/train_aug_single_sd.py` family) skips
+        # the spectrum entirely.
+        spec_feats = None
+        if cfg.taps_se:
+            spec = sample_points(se_feats[0], se_advs[0], n_spec)
+            mixed = []
+            for i in range(1, n_spec):  # point 0 (clean) never forwarded
+                p = spec[i]
+                if cfg.mix_mask[i]:
+                    p = mix_feature(se_feats[0], p)
+                mixed.append(p)
+            spec_feats = jnp.stack(mixed, axis=0)  # (n_spec-1, B, h, w, C)
 
         def loss_fn(params):
             vs = {"params": params, "batch_stats": state.batch_stats}
             l0 = full_losses(vs, None, None, r_clean, x=images_l0).total()
 
-            def one_tail(feat, r):
-                return full_losses(vs, cfg.taps_se[0], feat, r).total()
-            if cfg.remat_tails:
-                one_tail = jax.checkpoint(one_tail)
-            spec_rngs = jax.random.split(r_spec, n_spec - 1)
-            tail_losses = jax.vmap(one_tail)(spec_feats, spec_rngs)
-            l_spectrum = jnp.sum(tail_losses)
+            if spec_feats is not None:
+                def one_tail(feat, r):
+                    return full_losses(vs, cfg.taps_se[0], feat, r).total()
+                if cfg.remat_tails:
+                    one_tail = jax.checkpoint(one_tail)
+                spec_rngs = jax.random.split(r_spec, n_spec - 1)
+                tail_losses = jax.vmap(one_tail)(spec_feats, spec_rngs)
+                l_spectrum = jnp.sum(tail_losses)
+            else:
+                l_spectrum = 0.0
 
             # extra multi-layer single adv points (`train_aug_muti*`)
             l_multi = 0.0

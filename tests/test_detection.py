@@ -206,6 +206,37 @@ class TestVocEval:
 
 
 class TestDetectionStepTiny:
+    def test_sd_only_step(self):
+        """Legacy `py/train_aug_single_sd.py` family: SD attack with NO
+        SE taps (taps_se=()) — the step must skip the spectrum and still
+        train."""
+        from afan.models.frcnn import FasterRCNN, FRCNNConfig
+        from afan.train.detect_loop import (DetAfanConfig, detection_tx,
+                                            make_afan_det_step)
+        from afan.train.loop import TrainState
+        cfg = FRCNNConfig(backbone="resnet18", num_classes=4,
+                          train_pre_nms_top_n=128, train_post_nms_top_n=32,
+                          roi_samples=8, roi_fg_cap=2, rpn_samples=16,
+                          rpn_fg_cap=8, anchor_sizes=(32, 64))
+        m = FasterRCNN(cfg=cfg)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                           jnp.float32)
+        gtb = jnp.asarray([[[8., 8, 40, 40]]])
+        gtc = jnp.asarray([[2]], jnp.int32)
+        gtv = jnp.asarray([[True]])
+        vs = m.init({"params": jax.random.PRNGKey(0)}, imgs, gtb, gtc, gtv,
+                    jax.random.PRNGKey(1), method=m.losses)
+        tx = detection_tx(lambda c: 0.001)
+        state = TrainState.create(vs, tx)
+        acfg = DetAfanConfig(taps_se=(), gammas_se=(), sd="roi",
+                             mix_sd=True)
+        step = make_afan_det_step(m, tx, acfg)
+        state, metrics = step(state, imgs, gtb, gtc, gtv,
+                              jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_spectrum"]) == 0.0
+        assert float(metrics["loss_sd"]) > 0.0
+
     def test_afan_step_and_detect(self):
         from afan.models.frcnn import FasterRCNN, FRCNNConfig
         from afan.train.detect_loop import (DetAfanConfig, detection_tx,
