@@ -1,0 +1,186 @@
+"""Adversarial golden fixtures for the COCO bbox protocol.
+
+`afan/eval/coco_map.py` is a from-the-spec reimplementation (pycocotools
+is unavailable in this environment, `Detection/dataset/coco2017.py:160-171`
+is the reference consumer). These tests pit it against a SECOND,
+independently-written implementation (`tests/coco_oracle.py` — explicit
+dtm/gtm id bookkeeping in pycocotools' own style) on:
+
+  * one hand-derived composite scene (crowd-ignore + area ranges +
+    an unmatched-det area rule) whose 12 metrics are computed BY HAND in
+    the comments below;
+  * randomized multi-image scenes exercising crowd-ignore x score ties x
+    maxDets truncation x area ranges TOGETHER, where a matching-order or
+    accumulation bug in either implementation would break agreement.
+"""
+import numpy as np
+import pytest
+
+from afan.eval.coco_map import coco_eval_summary
+
+from coco_oracle import oracle_coco_summary
+
+KEYS = ["AP", "AP50", "AP75", "APs", "APm", "APl",
+        "AR1", "AR10", "AR100", "ARs", "ARm", "ARl"]
+
+
+def _agree(gt, ids, boxes, classes, probs, crowd=None, num_classes=4):
+    ours = coco_eval_summary(num_classes, gt, ids, np.asarray(boxes,
+                                                              float),
+                             np.asarray(classes), np.asarray(probs, float),
+                             crowd=crowd)
+    ref = oracle_coco_summary(num_classes, gt, ids, boxes, classes, probs,
+                              crowd=crowd)
+    for k in KEYS:
+        assert ours[k] == pytest.approx(ref[k], abs=1e-9), (
+            k, ours[k], ref[k])
+    return ours
+
+
+def test_hand_derived_composite():
+    """2 images, 1 class; crowd region + small/medium split.
+
+    img A: gt G1=[0,0,10,10] (area 100, small); dets D1=G1 (score .9,
+    TP at every IoU), D2=[20,20,30,30] (score .8, FP, area 100).
+    img B: gt G2=[40,40,80,80] (area 1600, medium, never detected);
+    crowd C=[0,0,100,100]; det D3=[10,10,20,20] (score .7) sits inside C
+    -> crowd-matched -> ignored.
+
+    area=all: npos=2; PR list (score order) = [TP, FP] -> rc=[.5,.5],
+    pr=[1,.5], envelope [1,.5]; grid points <=0.5 (51 of 101) read 1.0
+    -> AP = 51/101 at every threshold; AR@1/10/100 = 0.5 (D3 ignored in
+    every maxDets slice).
+    area=small: only G1 valid (npos=1); D1 TP, D2 FP, D3 ignored ->
+    rc=[1,1] -> all 101 grid points read 1.0 -> APs=1, ARs=1.
+    area=medium: only G2 valid (npos=1); D1 matches the IGNORED G1 ->
+    ignored; D2 unmatched with out-of-range area -> ignored; D3 crowd ->
+    ignored; no scored dets -> APm=0, ARm=0.
+    area=large: no valid gt anywhere -> -1 sentinel.
+    """
+    gt = {"A": (np.array([[0.0, 0, 10, 10]]), np.array([1])),
+          "B": (np.array([[40.0, 40, 80, 80]]), np.array([1]))}
+    crowd = {"B": (np.array([[0.0, 0, 100, 100]]), np.array([1]))}
+    ids = ["A", "A", "B"]
+    boxes = [[0.0, 0, 10, 10], [20.0, 20, 30, 30], [10.0, 10, 20, 20]]
+    classes = [1, 1, 1]
+    probs = [0.9, 0.8, 0.7]
+    res = _agree(gt, ids, boxes, classes, probs, crowd, num_classes=2)
+    assert res["AP"] == pytest.approx(51 / 101)
+    assert res["AP50"] == pytest.approx(51 / 101)
+    assert res["AP75"] == pytest.approx(51 / 101)
+    assert res["APs"] == pytest.approx(1.0)
+    assert res["APm"] == pytest.approx(0.0)
+    assert res["APl"] == pytest.approx(-1.0)
+    for k in ("AR1", "AR10", "AR100"):
+        assert res[k] == pytest.approx(0.5)
+    assert res["ARs"] == pytest.approx(1.0)
+    assert res["ARm"] == pytest.approx(0.0)
+    assert res["ARl"] == pytest.approx(-1.0)
+
+
+def _random_scene(seed, n_images=4, num_classes=4, tie_grid=10,
+                  flood_img=0):
+    """Randomized scene stressing every protocol interaction at once:
+
+    * gt areas spanning the small/medium/large boundaries (8..300 px
+      sides);
+    * crowd regions (some overlapping real gt);
+    * dets = jittered gt copies (IoU straddling several thresholds) +
+      dets inside crowd regions + pure noise + degenerate near-boundary
+      areas;
+    * scores snapped to a coarse grid -> heavy ties within AND across
+      images (stable-sort order becomes load-bearing);
+    * one (image, class) flooded with >100 dets -> maxDets=100
+      truncation interacts with ties and crowd-ignores.
+    """
+    rng = np.random.RandomState(seed)
+    gt, crowd = {}, {}
+    ids, boxes, classes, probs = [], [], [], []
+    for i in range(n_images):
+        img = f"im{i}"
+        n_gt = rng.randint(2, 7)
+        g_boxes, g_labels = [], []
+        for _ in range(n_gt):
+            side = rng.choice([8, 20, 31, 33, 60, 95, 97, 150, 300])
+            x, y = rng.uniform(0, 500, 2)
+            g_boxes.append([x, y, x + side * rng.uniform(0.8, 1.2),
+                            y + side])
+            g_labels.append(rng.randint(1, num_classes))
+        gt[img] = (np.array(g_boxes), np.array(g_labels))
+        if rng.rand() < 0.8:
+            n_cr = rng.randint(1, 3)
+            c_boxes, c_labels = [], []
+            for _ in range(n_cr):
+                x, y = rng.uniform(0, 300, 2)
+                w, h = rng.uniform(80, 400, 2)
+                c_boxes.append([x, y, x + w, y + h])
+                c_labels.append(rng.randint(1, num_classes))
+            crowd[img] = (np.array(c_boxes), np.array(c_labels))
+
+        # jittered copies of gt (some at the matched class, some wrong)
+        for b, c in zip(g_boxes, g_labels):
+            for _ in range(rng.randint(1, 4)):
+                j = rng.uniform(-8, 8, 4)
+                bb = [b[0] + j[0], b[1] + j[1],
+                      max(b[2] + j[2], b[0] + j[0] + 1),
+                      max(b[3] + j[3], b[1] + j[1] + 1)]
+                ids.append(img)
+                boxes.append(bb)
+                classes.append(c if rng.rand() < 0.8
+                               else rng.randint(1, num_classes))
+                probs.append(rng.randint(1, tie_grid) / tie_grid)
+        # dets inside crowd regions
+        if img in crowd:
+            for b, c in zip(*crowd[img]):
+                for _ in range(rng.randint(0, 3)):
+                    x = rng.uniform(b[0], max(b[2] - 20, b[0] + 1))
+                    y = rng.uniform(b[1], max(b[3] - 20, b[1] + 1))
+                    s = rng.choice([10, 31, 33, 90])
+                    ids.append(img)
+                    boxes.append([x, y, x + s, y + s])
+                    classes.append(int(c))
+                    probs.append(rng.randint(1, tie_grid) / tie_grid)
+        # noise
+        for _ in range(rng.randint(2, 6)):
+            x, y = rng.uniform(0, 500, 2)
+            s = rng.choice([5, 32, 96, 200])
+            ids.append(img)
+            boxes.append([x, y, x + s, y + s * rng.uniform(0.9, 1.1)])
+            classes.append(rng.randint(1, num_classes))
+            probs.append(rng.randint(1, tie_grid) / tie_grid)
+
+    # flood one (image, class) past the maxDets=100 cap
+    img = f"im{flood_img}"
+    fb, fl = gt[img]
+    target = int(fl[0])
+    base = fb[0]
+    for _ in range(130):
+        j = np.random.RandomState(seed + 1).uniform(-30, 30, 4)
+        j = rng.uniform(-30, 30, 4)
+        bb = [base[0] + j[0], base[1] + j[1],
+              max(base[2] + j[2], base[0] + j[0] + 2),
+              max(base[3] + j[3], base[1] + j[1] + 2)]
+        ids.append(img)
+        boxes.append(bb)
+        classes.append(target)
+        probs.append(rng.randint(1, tie_grid) / tie_grid)
+    return gt, ids, boxes, classes, probs, crowd
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1234])
+def test_randomized_composite_scenes(seed):
+    gt, ids, boxes, classes, probs, crowd = _random_scene(seed)
+    res = _agree(gt, ids, boxes, classes, probs, crowd)
+    # the scene must actually exercise the machinery: nonempty metrics,
+    # nontrivial AP (not 0/1), and a real maxDets truncation
+    assert 0.0 < res["AP"] < 1.0
+    n_flood = sum(1 for i in ids if i == "im0")
+    assert n_flood > 100
+
+
+def test_randomized_no_crowd_matches_with_empty_crowd_dict():
+    gt, ids, boxes, classes, probs, _ = _random_scene(99)
+    r1 = _agree(gt, ids, boxes, classes, probs, None)
+    r2 = _agree(gt, ids, boxes, classes, probs, {})
+    for k in KEYS:
+        assert r1[k] == pytest.approx(r2[k])
