@@ -68,6 +68,10 @@ class StagedModule(nn.Module):
         order (duplicates allowed)."""
         stage_list = self.stages()
         taps = tuple(int(t) for t in taps)
+        if not taps:
+            raise ValueError("multi_head requires at least one tap point")
+        for t in taps:
+            check_tap(t, len(stage_list))
         tap_set = set(taps)
         last = max(taps)
         feats = {}

@@ -63,17 +63,30 @@ def restore_opt_state(fresh: Any, saved: Any) -> Tuple[Any, bool]:
 
     Rebuilds on the FRESH state's treedef (container classes in an old
     pickle may differ across optax versions) with the saved leaf values.
-    Returns (opt_state, ok); any structure/shape mismatch falls back to
-    the fresh init with ok=False.
+    Leaves are paired by flattened KEY PATH, not flatten order — a
+    reordered container chain in an old pickle could otherwise silently
+    swap same-shaped leaves (e.g. a momentum trace for a params-shaped
+    leaf). Returns (opt_state, ok); any path/shape mismatch falls back
+    to the fresh init with ok=False.
     """
     import jax.numpy as jnp
-    fresh_leaves, treedef = jax.tree.flatten(fresh)
-    saved_leaves = jax.tree.leaves(saved)
-    if len(saved_leaves) != len(fresh_leaves):
+
+    def _paths(tree):
+        return [("/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                          for p in path), leaf)
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(tree)[0]]
+
+    fresh_flat = _paths(fresh)
+    saved_flat = dict(_paths(saved))
+    if len(saved_flat) != len(fresh_flat):
         return fresh, False
+    treedef = jax.tree.structure(fresh)
     out = []
-    for f, s in zip(fresh_leaves, saved_leaves):
-        s = np.asarray(s)
+    for key, f in fresh_flat:
+        if key not in saved_flat:
+            return fresh, False
+        s = np.asarray(saved_flat[key])
         if tuple(s.shape) != tuple(np.shape(f)):
             return fresh, False
         out.append(jnp.asarray(s, dtype=getattr(f, "dtype", s.dtype)))

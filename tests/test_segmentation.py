@@ -254,3 +254,68 @@ class TestSegAfanStep:
         # changes the direction — compare against the pure-decay update
         decay_only = before * (1 - 0.01 * 0.1 * 1e-4)
         assert not np.allclose(after, decay_only, atol=1e-9)
+
+
+class TestFusedCeFallback:
+    """A Mosaic rejection of the fused resize+CE kernel must never kill a
+    training run (VERDICT r3 weak #3): the CLI's step wrapper rebuilds
+    with fused_ce=False on a first-call failure."""
+
+    def test_fallback_step_recovers(self):
+        from afan.cli.train_segment import _FallbackStep
+        built = []
+
+        def build(fused):
+            built.append(fused)
+            if fused is not False:
+                def bad(*a, **kw):
+                    raise RuntimeError("mosaic rejected the kernel")
+                return bad
+            return lambda *a, **kw: ("ok", a)
+
+        fb = _FallbackStep(build, "auto")
+        out = fb(1, 2)
+        assert out == ("ok", (1, 2))
+        assert built == ["auto", False]
+        assert fb(3) == ("ok", (3,))         # no rebuild on later calls
+
+    def test_fallback_step_no_retry_after_first(self):
+        from afan.cli.train_segment import _FallbackStep
+        calls = {"n": 0}
+
+        def build(fused):
+            def fn(*a):
+                calls["n"] += 1
+                if calls["n"] > 1:
+                    raise RuntimeError("genuine later failure")
+                return "ok"
+            return fn
+
+        fb = _FallbackStep(build, True)
+        assert fb() == "ok"
+        with pytest.raises(RuntimeError):      # NOT swallowed/rebuilt
+            fb()
+
+    @pytest.mark.slow
+    def test_cli_survives_forced_kernel_failure(self, tmp_path,
+                                                monkeypatch):
+        """End-to-end: kernel raises at trace time -> the run falls back
+        to the XLA resize+CE path and completes."""
+        import afan.train.segment_loop as sl
+        from afan.cli.train_segment import main
+
+        def boom(*a, **kw):
+            raise RuntimeError("forced kernel failure")
+
+        monkeypatch.setattr(sl, "fused_resize_nll_sums", boom)
+        monkeypatch.chdir(tmp_path)
+        main(["--variant", "afan", "--dataset", "voc",
+              "--data_root", "/nonexistent",
+              "--model", "deeplabv3plus_mobilenet", "--crop_size", "32",
+              "--batch_size", "8", "--limit_itrs", "1",
+              "--val_interval", "1", "--fused_ce", "on",
+              "--exp", "fusedfail"])
+        logs = list((tmp_path / "checkpoints").rglob("train.log"))
+        text = logs[0].read_text()
+        assert "falling back to the XLA resize+CE path" in text
+        assert "done; best mIoU" in text

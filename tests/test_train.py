@@ -332,3 +332,58 @@ class TestLearnableSinglePass:
         for a, b in zip(jax.tree.leaves(s1.params),
                         jax.tree.leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestOptStateRestorePathMatching:
+    """restore_opt_state pairs leaves by flattened KEY PATH — a reordered
+    container chain in an old pickle (optax classes differing across
+    versions) must fall back to fresh init, never silently swap
+    same-shaped leaves."""
+
+    def test_reordered_same_shape_leaves_rejected(self):
+        from afan.train.checkpoint import restore_opt_state
+        fresh = {"a": {"mu": np.zeros((3, 3)), "nu": np.ones((3, 3))},
+                 "count": np.zeros(())}
+        # same leaf count + shapes, but the dict paths differ
+        saved = {"b": {"mu": np.full((3, 3), 7.0),
+                       "nu": np.full((3, 3), 8.0)},
+                 "count": np.asarray(5.0)}
+        out, ok = restore_opt_state(fresh, saved)
+        assert not ok
+        np.testing.assert_array_equal(np.asarray(out["a"]["mu"]),
+                                      np.zeros((3, 3)))
+
+    def test_same_paths_restored_regardless_of_declaration_order(self):
+        from afan.train.checkpoint import restore_opt_state
+        fresh = {"a": np.zeros((2,)), "z": np.zeros((2,))}
+        saved = {"z": np.asarray([3.0, 4.0]), "a": np.asarray([1.0, 2.0])}
+        out, ok = restore_opt_state(fresh, saved)
+        assert ok
+        np.testing.assert_array_equal(np.asarray(out["a"]),
+                                      [1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(out["z"]),
+                                      [3.0, 4.0])
+
+    def test_shape_mismatch_rejected(self):
+        from afan.train.checkpoint import restore_opt_state
+        fresh = {"a": np.zeros((2,))}
+        saved = {"a": np.zeros((3,))}
+        _, ok = restore_opt_state(fresh, saved)
+        assert not ok
+
+
+class TestMultiHeadValidation:
+    """multi_head rejects empty/out-of-range taps with clear errors
+    instead of a bare max()/IndexError."""
+
+    def test_empty_taps(self, model_state):
+        m, vs = model_state
+        x, _ = tiny_batch()
+        with pytest.raises(ValueError, match="at least one tap"):
+            m.apply(vs, x, (), False, method=m.multi_head)
+
+    def test_out_of_range_tap(self, model_state):
+        m, vs = model_state
+        x, _ = tiny_batch()
+        with pytest.raises(ValueError, match="out of range"):
+            m.apply(vs, x, (2, 999), False, method=m.multi_head)
