@@ -1,0 +1,119 @@
+"""Golden cross-checks for the VOC detection AP protocol.
+
+`afan/eval/det_map.py` ports the canonical voc_eval algorithm
+(`Detection/voc_eval.py:31-198`); these tests pit it against a SECOND,
+independently-written implementation (`tests/voc_oracle.py`, explicit
+per-detection dict bookkeeping) on a hand-derived scene and randomized
+multi-image scenes with difficult gts, the +1-pixel IoU convention, and
+double-match FPs — in both the 11-point and continuous AP metrics.
+
+Scores are kept DISTINCT throughout: the canonical ranking uses an
+unstable descending sort, so tie order is implementation-defined (the
+reference inherits this; PARITY.md).
+"""
+import numpy as np
+import pytest
+
+from afan.eval.det_map import evaluate_detections
+
+from voc_oracle import oracle_voc_map
+
+
+def _agree(gt, ids, boxes, classes, probs, num_classes=4, **kw):
+    ours_map, ours_aps = evaluate_detections(
+        num_classes, gt, ids, np.asarray(boxes, float),
+        np.asarray(classes), np.asarray(probs, float), **kw)
+    ref_map, ref_aps = oracle_voc_map(num_classes, gt, ids, boxes,
+                                      classes, probs, **kw)
+    assert ours_map == pytest.approx(ref_map, abs=1e-9)
+    for c in ref_aps:
+        assert ours_aps[c] == pytest.approx(ref_aps[c], abs=1e-9), c
+    return ours_map, ours_aps
+
+
+def test_hand_derived_difficult_and_double_match():
+    """1 class, 1 image: G1 normal, G2 difficult.
+    D1 (s .9) hits G1 -> TP; D2 (s .8) hits G1 again -> FP (consumed);
+    D3 (s .7) hits G2 (difficult) -> neutral; D4 (s .6) misses -> FP.
+    npos=1. Ranked PR: (1, 1/1), (1, 1/2), [neutral], (1, 1/3).
+    11-pt: all t<=1.0 have max prec 1.0 -> AP = 1.0.
+    Continuous: envelope 1.0 up to rec 1 at first point -> AP = 1.0.
+    """
+    gt = {"A": (np.array([[0.0, 0, 10, 10], [50.0, 50, 70, 70]]),
+                np.array([1, 1]), np.array([False, True]))}
+    ids = ["A"] * 4
+    boxes = [[0.0, 0, 10, 10], [1.0, 1, 11, 11], [50.0, 50, 70, 70],
+             [200.0, 200, 220, 220]]
+    classes = [1, 1, 1, 1]
+    probs = [0.9, 0.8, 0.7, 0.6]
+    for metric07 in (True, False):
+        m, aps = _agree(gt, ids, boxes, classes, probs, num_classes=2,
+                        use_07_metric=metric07)
+        assert aps[1] == pytest.approx(1.0)
+
+
+def test_hand_derived_partial_recall():
+    """npos=2, one TP then one FP: rec=[.5,.5], prec=[1,.5].
+    11-pt: t in {0,...,0.5} -> 1.0 (six grid points), t>0.5 -> 0
+    -> AP = 6/11. Continuous: 0.5 * 1.0 = 0.5."""
+    gt = {"A": (np.array([[0.0, 0, 10, 10], [100.0, 100, 120, 120]]),
+                np.array([1, 1]), np.array([False, False]))}
+    ids = ["A", "A"]
+    boxes = [[0.0, 0, 10, 10], [300.0, 300, 320, 320]]
+    classes = [1, 1]
+    probs = [0.9, 0.8]
+    _, aps07 = _agree(gt, ids, boxes, classes, probs, num_classes=2,
+                      use_07_metric=True)
+    assert aps07[1] == pytest.approx(6 / 11)
+    _, apsC = _agree(gt, ids, boxes, classes, probs, num_classes=2,
+                     use_07_metric=False)
+    assert apsC[1] == pytest.approx(0.5)
+
+
+def _random_scene(seed, n_images=5, num_classes=4):
+    rng = np.random.RandomState(seed)
+    gt = {}
+    ids, boxes, classes, probs = [], [], [], []
+    for i in range(n_images):
+        img = f"im{i}"
+        n_gt = rng.randint(2, 8)
+        g_boxes, g_labels, g_diff = [], [], []
+        for _ in range(n_gt):
+            side = rng.uniform(10, 200)
+            x, y = rng.uniform(0, 400, 2)
+            g_boxes.append([x, y, x + side * rng.uniform(0.7, 1.4),
+                            y + side])
+            g_labels.append(rng.randint(1, num_classes))
+            g_diff.append(rng.rand() < 0.25)
+        gt[img] = (np.array(g_boxes), np.array(g_labels),
+                   np.array(g_diff))
+        for b, c in zip(g_boxes, g_labels):
+            # several jittered copies -> double-match FPs + near-thresh
+            # IoUs; some wrong-class
+            for _ in range(rng.randint(1, 4)):
+                j = rng.uniform(-20, 20, 4)
+                bb = [b[0] + j[0], b[1] + j[1],
+                      max(b[2] + j[2], b[0] + j[0] + 2),
+                      max(b[3] + j[3], b[1] + j[1] + 2)]
+                ids.append(img)
+                boxes.append(bb)
+                classes.append(c if rng.rand() < 0.85
+                               else rng.randint(1, num_classes))
+        for _ in range(rng.randint(2, 6)):      # noise
+            x, y = rng.uniform(0, 400, 2)
+            s = rng.uniform(8, 150)
+            ids.append(img)
+            boxes.append([x, y, x + s, y + s])
+            classes.append(rng.randint(1, num_classes))
+    # distinct scores (unstable canonical tie order — see module doc)
+    probs = list(rng.permutation(np.linspace(0.05, 0.99, len(ids))))
+    return gt, ids, boxes, classes, probs
+
+
+@pytest.mark.parametrize("seed", [3, 17, 4242])
+@pytest.mark.parametrize("metric07", [True, False])
+def test_randomized_scenes(seed, metric07):
+    gt, ids, boxes, classes, probs = _random_scene(seed)
+    m, _ = _agree(gt, ids, boxes, classes, probs,
+                  use_07_metric=metric07)
+    assert 0.0 < m < 1.0
