@@ -6,8 +6,10 @@ restore* that loads whatever intersects and reports the matched fraction
 ``checkpoint.pt`` + ``best_model.pt`` keyed on val accuracy
 (`Classification/main_perturb.py:116-136`).
 
-Here checkpoints are orbax-backed (with a msgpack fallback) pytrees of
-``{params, batch_stats, opt_state, step, meta}``. :func:`overlap_restore`
+Here checkpoints are atomically-written pickles of host-numpy pytrees
+(``{params, batch_stats, opt_state, step, meta}``) — the same
+self-contained-file semantics as the reference's ``torch.save`` dicts,
+portable across backends and jax versions. :func:`overlap_restore`
 reproduces the reference's tolerant-key behavior for pytrees: leaves present
 in both trees with matching shapes are restored, everything else keeps its
 initialization, and the matched fraction is returned.
@@ -94,9 +96,9 @@ def restore_opt_state(fresh: Any, saved: Any) -> Tuple[Any, bool]:
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> str:
-    """Write a checkpoint. Uses pickle of host numpy trees — portable and
-    dependency-free; orbax is used by the long-running trainers for async
-    checkpointing when available."""
+    """Write a checkpoint: pickle of host numpy trees, written to a temp
+    file and atomically renamed (a crash mid-write can't corrupt the
+    previous checkpoint — the reference's torch.save lacks this)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     host = jax.tree.map(lambda x: np.asarray(x)
                         if hasattr(x, "shape") else x, payload)
