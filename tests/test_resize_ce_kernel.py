@@ -16,6 +16,8 @@ CASES = [
     (2, 6, 5, 7, 24, 20),    # integer H scale, non-integer W scale
     (1, 8, 8, 19, 32, 32),   # cityscapes channel count, 4x
     (2, 5, 7, 3, 20, 21),    # odd sizes both axes
+    (1, 9, 9, 21, 27, 27),   # ODD output H -> row-tile TH=1 (the VOC
+                             # 513-crop grid shape) + 21 classes
 ]
 
 
