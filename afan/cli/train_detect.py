@@ -86,6 +86,10 @@ def get_parser():
     p.add_argument("--num_steps_to_finish", type=int, default=90000)
     # A-FAN flags (`train_aug_final.py:200-247`)
     p.add_argument("--pertub_idx_se", type=int, default=2)
+    p.add_argument("--sd_only", action="store_true",
+                   help="no SE taps at all — SD attack only (the legacy "
+                        "`py/train_aug_single_sd*.py` family; sets "
+                        "taps_se=() so spectrum/AFN are skipped)")
     p.add_argument("--pertub_idx_sd", type=str, default="roi",
                    choices=["roi", "rpn", "none"])
     p.add_argument("--gamma_se", type=float, default=0.9)
@@ -141,6 +145,8 @@ def afan_config_for(args) -> DetAfanConfig:
         taps = (3, 1, 2)
         gammas = (args.gamma_se / 255, 0.1 * args.gamma_se / 255,
                   0.1 * args.gamma_se / 255)
+    elif args.sd_only:
+        taps, gammas = (), ()
     else:
         taps = (args.pertub_idx_se,)
         gammas = (args.gamma_se / 255,)
