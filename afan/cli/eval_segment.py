@@ -98,9 +98,10 @@ def main(argv=None):
     if args.ckpt:
         saved = load_checkpoint(args.ckpt)
         params, frac = overlap_restore(state.params, saved["params"])
-        state = state.replace(params=params,
-                              batch_stats=saved.get("batch_stats",
-                                                    state.batch_stats))
+        stats, _fs = overlap_restore(state.batch_stats,
+                                     saved.get("batch_stats",
+                                               state.batch_stats))
+        state = state.replace(params=params, batch_stats=stats)
         Log.i(f"restored {frac:.1%} from {args.ckpt}")
     if args.torch_ckpt:
         from ..interop.torch_zoo import load_torch_deeplab

@@ -216,8 +216,9 @@ def main(argv=None):
         if saved:
             params, frac = overlap_restore(state.params, saved["params"])
             Log.i(f"resume: restored {frac:.1%} of params from {ckpt_path}")
-            state = state.replace(params=params,
-                                  batch_stats=saved["batch_stats"],
+            stats, _fs = overlap_restore(state.batch_stats,
+                                         saved["batch_stats"])
+            state = state.replace(params=params, batch_stats=stats,
                                   step=jnp.asarray(saved["step"]))
             if "opt_state" in saved:
                 opt, ok = restore_opt_state(state.opt_state,
