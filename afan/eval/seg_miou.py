@@ -37,16 +37,26 @@ class StreamSegMetrics:
         return hist
 
     def get_results(self) -> Dict:
-        """`stream_metrics.py:56-80` verbatim math."""
-        hist = self.confusion_matrix
-        acc = np.diag(hist).sum() / max(hist.sum(), 1)
-        acc_cls = np.diag(hist) / np.maximum(hist.sum(axis=1), 1e-12)
-        acc_cls = np.nanmean(acc_cls)
-        iu = np.diag(hist) / np.maximum(
-            hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist), 1e-12)
-        mean_iu = np.nanmean(iu)
-        freq = hist.sum(axis=1) / max(hist.sum(), 1)
-        fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
+        """`stream_metrics.py:56-80` verbatim math.
+
+        NaN semantics are load-bearing: a class absent from BOTH gt and
+        predictions divides 0/0 -> NaN, and ``np.nanmean`` then EXCLUDES
+        it from Mean IoU / Mean Acc (the reference's behavior). Guarding
+        the denominator would instead count such classes as 0 and deflate
+        both means whenever a class never appears (small val subsets,
+        early training). Cross-checked against an independent oracle in
+        tests/seg_oracle.py.
+        """
+        hist = self.confusion_matrix.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc = np.diag(hist).sum() / max(hist.sum(), 1)
+            acc_cls = np.diag(hist) / hist.sum(axis=1)
+            acc_cls = np.nanmean(acc_cls)
+            iu = np.diag(hist) / (
+                hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist))
+            mean_iu = np.nanmean(iu)
+            freq = hist.sum(axis=1) / max(hist.sum(), 1)
+            fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
         cls_iu = dict(zip(range(self.n_classes), iu))
         return {
             "Overall Acc": float(acc),
