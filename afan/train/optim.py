@@ -70,8 +70,10 @@ def warmup_multistep_schedule(
 
 
 def poly_schedule(base_lr: float, max_steps: int, power: float = 0.9,
-                  min_lr: float = 0.0) -> optax.Schedule:
-    """Segmentation's per-iteration PolyLR (`Segmentation/utils/scheduler.py:8-11`)."""
+                  min_lr: float = 1e-6) -> optax.Schedule:
+    """Segmentation's per-iteration PolyLR (`Segmentation/utils/scheduler.py:8-11`),
+    including its default ``min_lr=1e-6`` floor (`scheduler.py:4`) — only
+    reachable in the last handful of iterations, but parity is parity."""
 
     def schedule(count):
         frac = jnp.clip(1.0 - count / max_steps, 0.0, 1.0)

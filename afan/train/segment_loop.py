@@ -62,8 +62,18 @@ def _per_entry_loss_sums(logits, labels, use_focal: bool,
 def seg_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                    alpha: float = 1.0, gamma: float = 2.0,
                    ignore_index: int = 255) -> jnp.ndarray:
-    """FocalLoss parity (`Segmentation/utils/loss.py:5-20`):
-    alpha * (1 - exp(-CE))^gamma * CE, mean over pixels."""
+    """FocalLoss (`Segmentation/utils/loss.py:5-20`):
+    alpha * (1 - exp(-CE))^gamma * CE, mean over VALID pixels.
+
+    Two deliberate divergences from the reference's runtime behavior
+    (PARITY.md divergence 12): the reference constructs
+    ``FocalLoss(ignore_index=255, size_average=True)``
+    (`main_aug_final.py:91`) leaving ``gamma=0`` — which degenerates to
+    plain CE — and its ``.mean()`` averages over ALL pixels including
+    ignored ones (torch CE with reduction='none' zeroes them but they
+    stay in the denominator). We implement the intended focal loss
+    (canonical gamma=2) normalized by the valid-pixel count, consistent
+    with the CE criterion both frameworks use."""
     mask = labels != ignore_index
     safe = jnp.where(mask, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)

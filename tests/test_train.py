@@ -64,7 +64,8 @@ class TestSchedules:
         s = poly_schedule(0.1, 1000, 0.9)
         np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
         np.testing.assert_allclose(float(s(500)), 0.1 * 0.5 ** 0.9, rtol=1e-5)
-        assert float(s(1000)) == 0.0
+        # reference PolyLR floors at min_lr=1e-6 (scheduler.py:4)
+        np.testing.assert_allclose(float(s(1000)), 1e-6, rtol=1e-5)
 
 
 class TestBaseStep:
