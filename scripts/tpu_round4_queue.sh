@@ -10,4 +10,6 @@ echo "=== full bench ==="
 timeout 2400 python bench.py 2>&1 | tee /tmp/r4_bench.log
 echo "=== alfa batch scaling ==="
 timeout 2400 python scripts/alfa_batch_scaling.py 2>&1 | tee /tmp/r4_alfa_scaling.log
+echo "=== nms kernel ==="
+timeout 1200 python scripts/bench_nms.py 2>&1 | tee /tmp/r4_nms.log
 echo "=== queue done ==="
