@@ -119,23 +119,32 @@ def main(argv=None):
         variables_eval = state.variables()
 
         from ..train.segment_loop import _make_site_loss, _resolve_fused
-        use_fused, interp, _ = _resolve_fused("auto", False)
+        from .train_segment import _FallbackStep
 
-        @jax.jit
-        def attack(images, labels, rng):
-            site_loss = _make_site_loss(
-                use_fused, interp, None, seg_cross_entropy, labels,
-                (images.shape[1], images.shape[2]))
+        def build_attack(fused_ce):
+            use_fused, interp, _ = _resolve_fused(fused_ce, False)
 
-            def loss_fn(x):
-                lo = model.apply(variables_eval, x, False,
-                                 method=model.forward_logits)
-                return site_loss(lo)
-            return jnp.clip(pgd(loss_fn, images, steps=args.pgd_steps,
-                                gamma=args.pgd_gamma / 255,
-                                eps=args.pgd_eps / 255,
-                                randinit=args.randinit_pgd,
-                                clip=args.clip_pgd, rng=rng), 0.0, 1.0)
+            @jax.jit
+            def attack(images, labels, rng):
+                site_loss = _make_site_loss(
+                    use_fused, interp, None, seg_cross_entropy, labels,
+                    (images.shape[1], images.shape[2]))
+
+                def loss_fn(x):
+                    lo = model.apply(variables_eval, x, False,
+                                     method=model.forward_logits)
+                    return site_loss(lo)
+                return jnp.clip(pgd(loss_fn, images, steps=args.pgd_steps,
+                                    gamma=args.pgd_gamma / 255,
+                                    eps=args.pgd_eps / 255,
+                                    randinit=args.randinit_pgd,
+                                    clip=args.clip_pgd, rng=rng), 0.0, 1.0)
+            return attack
+
+        # Same fail-safe as the trainer: a Mosaic rejection of the fused
+        # resize+CE kernel on the first call falls back to the XLA path
+        # instead of killing the eval.
+        run_attack = _FallbackStep(build_attack, "auto")
 
     metrics = StreamSegMetrics(num_classes)
     palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"
@@ -148,7 +157,7 @@ def main(argv=None):
         x = jnp.asarray(imgs)
         y = jnp.asarray(labs)
         if args.task == "pgd":
-            x = attack(x, y, jax.random.fold_in(rng, i))
+            x = run_attack(x, y, jax.random.fold_in(rng, i))
         preds, hist = eval_step(state, x, y)
         metrics.update_hist(np.asarray(hist))
         if args.save_val_results:
