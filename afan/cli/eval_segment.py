@@ -98,11 +98,12 @@ def main(argv=None):
     if args.ckpt:
         saved = load_checkpoint(args.ckpt)
         params, frac = overlap_restore(state.params, saved["params"])
-        stats, _fs = overlap_restore(state.batch_stats,
-                                     saved.get("batch_stats",
-                                               state.batch_stats))
+        stats, fs = overlap_restore(state.batch_stats,
+                                    saved.get("batch_stats",
+                                              state.batch_stats))
         state = state.replace(params=params, batch_stats=stats)
-        Log.i(f"restored {frac:.1%} from {args.ckpt}")
+        Log.i(f"restored {frac:.1%} of params, {fs:.1%} of batch_stats "
+              f"from {args.ckpt}")
     if args.torch_ckpt:
         from ..interop.torch_zoo import load_torch_deeplab
         tp, ts, _ = load_torch_deeplab(args.torch_ckpt,
@@ -118,8 +119,8 @@ def main(argv=None):
     if args.task == "pgd":
         variables_eval = state.variables()
 
-        from ..train.segment_loop import _make_site_loss, _resolve_fused
-        from .train_segment import _FallbackStep
+        from ..train.segment_loop import (FallbackStep, _make_site_loss,
+                                          _resolve_fused)
 
         def build_attack(fused_ce):
             use_fused, interp, _ = _resolve_fused(fused_ce, False)
@@ -144,7 +145,7 @@ def main(argv=None):
         # Same fail-safe as the trainer: a Mosaic rejection of the fused
         # resize+CE kernel on the first call falls back to the XLA path
         # instead of killing the eval.
-        run_attack = _FallbackStep(build_attack, "auto")
+        run_attack = FallbackStep(build_attack, "auto")
 
     metrics = StreamSegMetrics(num_classes)
     palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"

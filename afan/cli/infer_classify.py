@@ -62,11 +62,12 @@ def main(argv=None):
         Log.i(f"torch checkpoint converted ({tfrac:.1%} keys) from "
               f"{args.pretrained}")
     params, frac = overlap_restore(state.params, saved["params"])
-    stats, _fs = overlap_restore(state.batch_stats,
-                                 saved.get("batch_stats",
-                                           state.batch_stats))
+    stats, fs = overlap_restore(state.batch_stats,
+                                saved.get("batch_stats",
+                                          state.batch_stats))
     state = state.replace(params=params, batch_stats=stats)
-    Log.i(f"loaded {frac:.1%} of params from {args.pretrained}")
+    Log.i(f"loaded {frac:.1%} of params, {fs:.1%} of batch_stats "
+          f"from {args.pretrained}")
 
     if args.pgd:
         from ..eval.robustness import make_robust_eval_step

@@ -215,9 +215,10 @@ def main(argv=None):
         saved = load_checkpoint(ckpt_path)
         if saved:
             params, frac = overlap_restore(state.params, saved["params"])
-            Log.i(f"resume: restored {frac:.1%} of params from {ckpt_path}")
-            stats, _fs = overlap_restore(state.batch_stats,
-                                         saved["batch_stats"])
+            stats, fs = overlap_restore(state.batch_stats,
+                                        saved["batch_stats"])
+            Log.i(f"resume: restored {frac:.1%} of params, {fs:.1%} of "
+                  f"batch_stats from {ckpt_path}")
             state = state.replace(params=params, batch_stats=stats,
                                   step=jnp.asarray(saved["step"]))
             if "opt_state" in saved:

@@ -138,15 +138,18 @@ def afan_config_for(args) -> DetAfanConfig:
     for i, ch in enumerate(args.mix_layer[:spectrum - 1]):
         if ch == "1":
             mask[i + 1] = 1
-    if args.variant in ("multi", "multi_clean", "sat_multi",
-                        "sat_multi_clean"):
+    if args.sd_only:
+        # --sd_only means NO SE taps at all, whatever the variant — it
+        # must take precedence over the multi family's tap presets
+        # (legacy `py/train_aug_single_sd*.py`)
+        taps, gammas = (), ()
+    elif args.variant in ("multi", "multi_clean", "sat_multi",
+                          "sat_multi_clean"):
         # `train_aug_muti_advt.py:91-100`: layers 1,2,3 with tiny gammas on
         # 1 and 2, the main gamma on 3
         taps = (3, 1, 2)
         gammas = (args.gamma_se / 255, 0.1 * args.gamma_se / 255,
                   0.1 * args.gamma_se / 255)
-    elif args.sd_only:
-        taps, gammas = (), ()
     else:
         taps = (args.pertub_idx_se,)
         gammas = (args.gamma_se / 255,)

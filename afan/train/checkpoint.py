@@ -24,12 +24,17 @@ import jax
 import numpy as np
 
 
+def _path_key(path) -> str:
+    """Stringify one jax key path — the single source of the key
+    convention shared by overlap_restore and restore_opt_state."""
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[_path_key(path)] = np.asarray(leaf)
     return flat
 
 
@@ -44,9 +49,7 @@ def overlap_restore(init_tree: Any, saved_tree: Any) -> Tuple[Any, float]:
     matched = [0]
 
     def pick(path, leaf):
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path)
-        cand = saved_flat.get(key)
+        cand = saved_flat.get(_path_key(path))
         if cand is not None and tuple(cand.shape) == tuple(np.shape(leaf)):
             matched[0] += 1
             return jax.numpy.asarray(cand, dtype=leaf.dtype)
@@ -74,9 +77,7 @@ def restore_opt_state(fresh: Any, saved: Any) -> Tuple[Any, bool]:
     import jax.numpy as jnp
 
     def _paths(tree):
-        return [("/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                          for p in path), leaf)
-                for path, leaf in
+        return [(_path_key(path), leaf) for path, leaf in
                 jax.tree_util.tree_flatten_with_path(tree)[0]]
 
     fresh_flat = _paths(fresh)

@@ -35,6 +35,7 @@ the reference's implied A100 MFU under the SAME flops model, so the
 hardware-normalized comparison does not depend on the absolute estimates.
 """
 import json
+import sys
 import time
 
 # Documented reference-on-A100 estimates (see module docstring):
@@ -366,10 +367,15 @@ def _guarded(fn):
 
 
 def probe_tunnel(timeout_s=90):
-    """True iff the default (axon TPU) backend initializes within
-    `timeout_s`. When the tunnel is down `jax.devices()` HANGS with no
-    fast error (CLAUDE.md gotcha; round-3 postmortem: rc=124 with zero
-    metric lines), so the probe runs in a killable subprocess."""
+    """('up'|'down'|'broken', detail) for the default (axon TPU) backend.
+
+    When the tunnel is down `jax.devices()` either HANGS with no fast
+    error (CLAUDE.md gotcha; round-3 postmortem: rc=124 with zero metric
+    lines) or fails fast with a connection error — so the probe runs in
+    a killable subprocess and classifies the failure. A nonzero exit for
+    any OTHER reason is reported as 'broken', not as a tunnel outage:
+    conflating the two would let a genuinely broken bench masquerade as
+    an outage in the driver record."""
     import subprocess
     import sys
     try:
@@ -377,17 +383,28 @@ def probe_tunnel(timeout_s=90):
             [sys.executable, "-c",
              "import jax; print(len(jax.devices()))"],
             capture_output=True, text=True, timeout=timeout_s)
-        return proc.returncode == 0 and proc.stdout.strip().isdigit()
     except subprocess.TimeoutExpired:
-        return False
+        return "down", f"backend init still hanging after {timeout_s}s"
+    if proc.returncode == 0 and proc.stdout.strip().isdigit():
+        return "up", proc.stdout.strip()
+    err = (proc.stderr or "") + (proc.stdout or "")
+    tunnel_signatures = ("Unable to initialize backend",
+                         "Connection refused", "remote_compile",
+                         "DEADLINE_EXCEEDED", "UNAVAILABLE")
+    if any(s in err for s in tunnel_signatures):
+        return "down", err.strip()[-300:]
+    return "broken", err.strip()[-300:]
 
 
 def main():
-    if not probe_tunnel():
+    status, detail = probe_tunnel()
+    if status != "up":
         # Structured record instead of an rc=124 hang: the driver (and
         # the judge) can tell "tunnel outage" from "bench broken".
-        print(json.dumps({"metric": "tpu_tunnel_down", "value": 0.0,
-                          "unit": "unavailable",
+        print(f"tpu probe: {status}: {detail}", file=sys.stderr)
+        print(json.dumps({"metric": "tpu_tunnel_down" if status == "down"
+                          else "tpu_probe_failed",
+                          "value": 0.0, "unit": "unavailable",
                           "vs_baseline": 0.0}), flush=True)
         return
     _guarded(bench_detection)

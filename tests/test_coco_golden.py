@@ -155,7 +155,6 @@ def _random_scene(seed, n_images=4, num_classes=4, tie_grid=10,
     target = int(fl[0])
     base = fb[0]
     for _ in range(130):
-        j = np.random.RandomState(seed + 1).uniform(-30, 30, 4)
         j = rng.uniform(-30, 30, 4)
         bb = [base[0] + j[0], base[1] + j[1],
               max(base[2] + j[2], base[0] + j[0] + 2),

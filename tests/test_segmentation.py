@@ -279,6 +279,27 @@ class TestFusedCeFallback:
         assert built == ["auto", False]
         assert fb(3) == ("ok", (3,))         # no rebuild on later calls
 
+    def test_fallback_reraises_when_donated_buffers_are_dead(self):
+        """An execution-time failure AFTER dispatch (donated buffers
+        deleted, e.g. an OOM) must re-raise the real error instead of
+        retrying on deleted arrays and mislabeling it a compile failure."""
+        from afan.cli.train_segment import _FallbackStep
+
+        class DeadLeaf:
+            def is_deleted(self):
+                return True
+
+        def build(fused):
+            if fused is not False:
+                def bad(*a, **kw):
+                    raise RuntimeError("RESOURCE_EXHAUSTED: OOM")
+                return bad
+            raise AssertionError("must not rebuild after dispatch")
+
+        fb = _FallbackStep(build, "auto")
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            fb((DeadLeaf(), 1), 2)
+
     def test_fallback_step_no_retry_after_first(self):
         from afan.cli.train_segment import _FallbackStep
         calls = {"n": 0}
