@@ -42,6 +42,10 @@ def conv_entry(name, hw, cin, cout, k=3, stride=1, n=1):
 
 
 def main():
+    # This IS every conv: ResNet-56s uses option-A (stride-2 subsample +
+    # zero-pad) shortcuts — there are NO 1x1 projection convs
+    # (afan/models/resnet_s.py:79-85; He et al. option A). The final
+    # 64->10 linear is ~0.001% of the FLOPs and is omitted.
     convs = [
         conv_entry("stem", 32, 3, 16),
         # stage1: 9 blocks x 2 convs, 16ch 32x32

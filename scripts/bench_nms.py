@@ -60,20 +60,27 @@ def measure_rtt():
     return best
 
 
+@jax.jit
+def _chained(bs, valid):
+    # module-level jit: both box distributions reuse ONE compiled program
+    # (per-bench closures would recompile the identical program — the
+    # documented same-program-twice remote-compile hang mode)
+    def body(carry, _):
+        boxes, acc = carry
+        keep = K.nms_sorted_mask_pallas(boxes, valid, 0.7)
+        eps = (keep[0].astype(jnp.float32) - 0.5) * 1e-6
+        return (boxes + eps, acc + keep.sum()), None
+
+    (_, acc), _ = jax.lax.scan(body, (bs, jnp.zeros((), jnp.float32)),
+                               None, length=ITERS)
+    return acc
+
+
 def bench(bs, rtt, label):
     valid = jnp.ones((N,), bool)
 
-    @jax.jit
-    def chained(bs):
-        def body(carry, _):
-            boxes, acc = carry
-            keep = K.nms_sorted_mask_pallas(boxes, valid, 0.7)
-            eps = (keep[0].astype(jnp.float32) - 0.5) * 1e-6
-            return (boxes + eps, acc + keep.sum()), None
-
-        (_, acc), _ = jax.lax.scan(body, (bs, jnp.zeros((), jnp.float32)),
-                                   None, length=ITERS)
-        return acc
+    def chained(b):
+        return _chained(b, valid)
 
     kept = float(chained(bs)) / ITERS
     best = float("inf")

@@ -112,9 +112,6 @@ def main():
     # add, isolating the CE cost)
     bench("C CE-on-materialized fwd+bwd",
           lambda lg: jnp.sum(jax.grad(
-              lambda x: seg_cross_entropy(
-                  hi0 + jnp.mean(x), labels) + 0.0 * jnp.sum(x))(lg) ** 2)
-          if False else jnp.sum(jax.grad(
               lambda x: seg_cross_entropy(hi0 * (1 + 0 * jnp.mean(x))
                                           + jnp.mean(x), labels))(lg) ** 2))
     bench("D resize+CE fwd+bwd",

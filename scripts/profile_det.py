@@ -41,9 +41,14 @@ tx = detection_tx(lambda c: 0.001)
 
 def run(step, label, iters=10):
     state = TrainState.create(variables, tx)
+    # Compile ONCE and reuse the compiled object for both cost analysis
+    # and the timed calls — calling the jitted fn after lower().compile()
+    # recompiles the identical program, the documented remote-compile
+    # hang mode (CLAUDE.md; profile_seg.py carries the same fix).
+    compiled = step.lower(state, images, boxes, labels, valid,
+                          key).compile()
     try:
-        cost = step.lower(state, images, boxes, labels, valid,
-                          key).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         fl = float(cost.get("flops", 0.0))
@@ -56,9 +61,9 @@ def run(step, label, iters=10):
 
     def one():
         holder["i"] += 1
-        holder["s"], holder["m"] = step(holder["s"], images, boxes, labels,
-                                        valid, jax.random.fold_in(
-                                            key, holder["i"]))
+        holder["s"], holder["m"] = compiled(
+            holder["s"], images, boxes, labels, valid,
+            jax.random.fold_in(key, holder["i"]))
 
     one(); one(); _ = float(holder["m"]["loss"])
     best = float("inf")
@@ -74,6 +79,9 @@ def run(step, label, iters=10):
 
 
 run(make_baseline_det_step(model, tx), "baseline")
-run(make_afan_det_step(model, tx, DetAfanConfig()), "flagship")
-run(make_afan_det_step(model, tx, DetAfanConfig(share_proposals=True)),
-    "flagship+share")
+# share_proposals=True is the DEFAULT; the reference-exact resampling
+# trajectory is the share_proposals=False ablation (PARITY.md div. 8).
+run(make_afan_det_step(model, tx, DetAfanConfig(share_proposals=False)),
+    "flagship (reference-exact resampling)")
+run(make_afan_det_step(model, tx, DetAfanConfig()),
+    "flagship+share (stock defaults)")

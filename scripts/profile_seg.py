@@ -113,6 +113,7 @@ def main():
         mix_mask=(0, 0, 1), mix_sd=True))  # city-final flags
     battery(512, [
         ("baseline", make_seg_base_step),
+        ("frozen-bn baseline", make_frozen_bn_step),
         ("afan flagship", afan),
     ], backbone_remat=True)
     # the REAL tracked config 5 geometry (Cityscapes crop 768,
