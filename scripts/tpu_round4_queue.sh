@@ -2,6 +2,11 @@
 # Round-4 hardware work queue — run when the axon tunnel is up.
 # Sequential (tracing/lowering is local on the 1-core host).
 cd /root/repo
+echo "=== tunnel probe ==="
+if ! timeout 90 python -c "import jax; print(len(jax.devices()))"; then
+  echo "TUNNEL DOWN — aborting queue"
+  exit 7
+fi
 echo "=== fused-CE Mosaic smoke ==="
 timeout 1200 python scripts/smoke_fused_ce_tpu.py 2>&1 | tee /tmp/r4_smoke_fused.log
 echo "=== seg fused A/B ==="
