@@ -58,6 +58,12 @@ def main(argv=None):
                         "+ overlap-restored")
     p.add_argument("--save_val_results", action="store_true")
     p.add_argument("--results_dir", default="results")
+    p.add_argument("--fused_ce", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="fused Pallas upsample+CE kernel in the pgd "
+                        "attack loss (same semantics as train_segment; "
+                        "a Mosaic compile failure falls back to 'off' "
+                        "automatically)")
     # pgd flags (`args.py` eval section; reference names aliased)
     p.add_argument("--pgd_steps", "--steps_pgd", type=int, default=3,
                    dest="pgd_steps")
@@ -145,7 +151,8 @@ def main(argv=None):
         # Same fail-safe as the trainer: a Mosaic rejection of the fused
         # resize+CE kernel on the first call falls back to the XLA path
         # instead of killing the eval.
-        run_attack = FallbackStep(build_attack, "auto")
+        fused_mode = {"auto": "auto", "on": True, "off": False}[args.fused_ce]
+        run_attack = FallbackStep(build_attack, fused_mode)
 
     metrics = StreamSegMetrics(num_classes)
     palette = (CITY_TRAIN_COLORS if args.dataset == "cityscapes"
