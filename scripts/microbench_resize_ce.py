@@ -195,6 +195,26 @@ def main():
     bench_w("J conv+resize+CE wgrad", True)
     bench_w("K conv+CE(lowres) wgrad", False)
 
+    # L/M/N: site MULTIPLICITY — the real step carries ~5 sibling
+    # resize+CE sites in ONE program, and the open ROADMAP question is
+    # why each costs ~30 ms composed vs 0.5 ms isolated. Each site here
+    # gets a DISTINCT nonlinear input (tanh(x+k); a linear variant would
+    # let XLA commute the scale through the bilinear resize and CSE the
+    # sites). If per-site cost grows with N, the anomaly is scheduling
+    # between sibling resize+CE instances themselves.
+    def body_multi(n):
+        def body(lg):
+            def loss(x):
+                return sum(
+                    seg_cross_entropy(resize_hi(jnp.tanh(x + k)), labels)
+                    for k in range(n))
+            return jnp.sum(jax.grad(loss)(lg) ** 2)
+        return body
+
+    bench("L 1-site tanh resize+CE", body_multi(1))
+    bench("M 2-site tanh resize+CE", body_multi(2))
+    bench("N 4-site tanh resize+CE", body_multi(4))
+
 
 if __name__ == "__main__":
     main()
