@@ -67,11 +67,16 @@ def _mats(n_out: int, n_in: int):
     return jnp.asarray(m), jnp.asarray(mt)
 
 
-def _row_tile(H: int) -> int:
-    for th in (8, 4, 2, 1):
-        if H % th == 0:
-            return th
-    return 1
+# Mosaic requires the last two dims of every block to be divisible by
+# (8, 128) or equal to the full array dims. The H axis is tiled, so it
+# must pad to the 8-row tile (odd geometries like VOC's 513 otherwise
+# force TH=1, which Mosaic rejects); padded rows carry IGNORE labels and
+# contribute exactly 0 to both the loss sums and the gradient.
+TH = 8
+
+
+def _pad_h(H: int) -> int:
+    return -(-H // TH) * TH
 
 
 def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref, *, focal):
@@ -95,22 +100,27 @@ def _fwd_kernel(up_ref, rwt_ref, lab_ref, out_ref, *, focal):
         alpha, gamma = focal
         ce = alpha * (1.0 - jnp.exp(-ce)) ** gamma * ce
     nll = jnp.where(lab != IGNORE, ce, 0.0)
+    # The per-entry sum lives replicated across an (8, 128) VMEM tile
+    # (a (B, 1) SMEM scalar output violates Mosaic's last-two-dims
+    # tiling rule); the host reads [:, 0, 0].
     partial = jnp.sum(nll)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[0, 0] = partial
+        out_ref[0] = jnp.full((8, 128), partial, jnp.float32)
 
     @pl.when(pl.program_id(1) != 0)
     def _():
-        out_ref[0, 0] = out_ref[0, 0] + partial
+        out_ref[0] = out_ref[0] + partial
 
 
-def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref, *,
-                focal):
+def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, dup_ref, *, focal):
     """grad wrt the (TH, C, w) tile: contract
-    g * d(loss)/d(ce) * (softmax - onehot) back through the
-    W-upsample (d(ce)/d(hi_c) = softmax_c - onehot_c)."""
+    d(loss)/d(ce) * (softmax - onehot) back through the W-upsample
+    (d(ce)/d(hi_c) = softmax_c - onehot_c). The upstream cotangent g is
+    a per-entry SCALAR the whole gradient is linear in — it is applied
+    to the small (B, h, w, C) dlo outside the kernel rather than shipped
+    in as a (1, 1) block Mosaic would reject."""
     a = up_ref[0].astype(jnp.float32)
     th, C, w = a.shape
     hi = jnp.dot(a.reshape(th * C, w), rwt_ref[:],
@@ -120,7 +130,7 @@ def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref, *,
     e = jnp.exp(hi - m[:, None, :])
     s = jnp.sum(e, axis=1)                                 # (TH, W)
     lab = lab_ref[0]
-    gmask = jnp.where(lab != IGNORE, g_ref[0, 0], 0.0)     # (TH, W)
+    gmask = jnp.where(lab != IGNORE, 1.0, 0.0)             # (TH, W)
     soft = e / s[:, None, :]                               # (TH, C, W)
     onehot = jnp.stack([(lab == c).astype(jnp.float32)
                         for c in range(C)], axis=1)        # (TH, C, W)
@@ -143,12 +153,12 @@ def _bwd_kernel(up_ref, rwt_ref, rw_ref, lab_ref, g_ref, dup_ref, *,
 
 
 def _pallas_sums(upT, rwt, labels, interpret: bool, focal):
-    B, H, C, w = upT.shape
+    """upT/labels are H-padded to a TH multiple. Returns (B,) sums."""
+    B, Hp, C, w = upT.shape
     W = labels.shape[2]
-    TH = _row_tile(H)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, focal=focal),
-        grid=(B, H // TH),
+        grid=(B, Hp // TH),
         in_specs=[
             pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -157,20 +167,20 @@ def _pallas_sums(upT, rwt, labels, interpret: bool, focal):
             pl.BlockSpec((1, TH, W), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b, t: (b, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
     )(upT, rwt, labels)
+    return out[:, 0, 0]
 
 
-def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool, focal):
-    B, H, C, w = upT.shape
+def _pallas_grad(upT, rwt, rw, labels, interpret: bool, focal):
+    B, Hp, C, w = upT.shape
     W = labels.shape[2]
-    TH = _row_tile(H)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, focal=focal),
-        grid=(B, H // TH),
+        grid=(B, Hp // TH),
         in_specs=[
             pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -180,14 +190,12 @@ def _pallas_grad(upT, rwt, rw, labels, g, interpret: bool, focal):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, W), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, t: (b, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, TH, C, w), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, C, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, C, w), jnp.float32),
         interpret=interpret,
-    )(upT, rwt, rw, labels, g)
+    )(upT, rwt, rw, labels)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -213,7 +221,12 @@ def _fwd_impl(lo, labels, out_size, interpret, focal):
     RW, RWT = _mats(W, w)
     up = jnp.einsum("Hp,bpqc->bHqc", RH, lo.astype(jnp.float32))
     upT = jnp.transpose(up, (0, 1, 3, 2))            # (B, H, C, w)
-    sums = _pallas_sums(upT, RWT, labels, interpret, focal)[:, 0]
+    Hp = _pad_h(H)
+    if Hp != H:
+        upT = jnp.pad(upT, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, Hp - H), (0, 0)),
+                         constant_values=IGNORE)
+    sums = _pallas_sums(upT, RWT, labels, interpret, focal)
     return sums, (upT, labels)
 
 
@@ -223,15 +236,14 @@ def _fwd_rule(lo, labels, out_size, interpret, focal):
 
 
 def _bwd_rule(out_size, interpret, focal, residuals, g):
-    upT, labels, lo = residuals
+    upT, labels, lo = residuals                      # upT/labels H-padded
     H, W = out_size
     RH, _ = _mats(H, lo.shape[1])
     RW, RWT = _mats(W, lo.shape[2])
-    dupT = _pallas_grad(upT, RWT, RW, labels,
-                        g.astype(jnp.float32).reshape(-1, 1), interpret,
-                        focal)
-    dup = jnp.transpose(dupT, (0, 1, 3, 2))          # (B, H, w, C)
+    dupT = _pallas_grad(upT, RWT, RW, labels, interpret, focal)
+    dup = jnp.transpose(dupT[:, :H], (0, 1, 3, 2))   # (B, H, w, C)
     dlo = jnp.einsum("Hp,bHqc->bpqc", RH, dup)
+    dlo = dlo * g.astype(jnp.float32)[:, None, None, None]
     return dlo.astype(lo.dtype), None
 
 
