@@ -21,7 +21,11 @@ value fetch per window, compiled object reused (a second compile of the
 same program can hang the tunneled runtime).
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
