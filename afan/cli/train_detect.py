@@ -103,6 +103,13 @@ def get_parser():
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--pgd_step_mode", choices=("sign", "grad"),
+                   default="sign",
+                   help="beyond-reference: raw-gradient PGD direction "
+                        "(arxiv 2312.01260) for every ascent in the step")
+    p.add_argument("--pgd_random_steps", action="store_true",
+                   help="beyond-reference: WITCHcraft per-step random "
+                        "step sizes (arxiv 1911.07989)")
     p.add_argument("--loss_settings", type=int, default=1,
                    help="SAT weight preset 1-4 (train_aug_sat_advt.py)")
     p.add_argument("--share_proposals", action="store_true", default=True,
@@ -177,6 +184,7 @@ def afan_config_for(args) -> DetAfanConfig:
         only_roi_sd=args.only_roi_sd, mix_sd=args.mix_sd,
         noise_sd=args.noise_sd, sd_weight=args.sd_adv_loss_weight,
         steps=args.steps, randinit=args.randinit, clip=args.clip,
+        step_mode=args.pgd_step_mode, random_steps=args.pgd_random_steps,
         weight_mode=weight_mode, loss_setting=args.loss_settings,
         input_adv=input_adv, share_proposals=args.share_proposals,
         remat_tails=args.remat_tails)

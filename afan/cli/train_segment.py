@@ -84,6 +84,13 @@ def get_parser():
     p.add_argument("--eps", type=float, default=2.0)
     p.add_argument("--randinit", action="store_true")
     p.add_argument("--clip", action="store_true")
+    p.add_argument("--pgd_step_mode", choices=("sign", "grad"),
+                   default="sign",
+                   help="beyond-reference: raw-gradient PGD direction "
+                        "(arxiv 2312.01260) for every ascent in the step")
+    p.add_argument("--pgd_random_steps", action="store_true",
+                   help="beyond-reference: WITCHcraft per-step random "
+                        "step sizes (arxiv 1911.07989)")
     # TPU-era
     p.add_argument("--remat_tails", action="store_true", default=False,
                    help="jax.checkpoint the spectrum tails (memory for "
@@ -194,6 +201,7 @@ def _build_variant_step(args, model, tx, fused_ce):
         mix_sd=args.mix_sd or args.mix_all,
         noise_sd=args.noise_sd, mix_all=args.mix_all,
         randinit=args.randinit, clip=args.clip,
+        step_mode=args.pgd_step_mode, random_steps=args.pgd_random_steps,
         use_focal=args.loss_type == "focal_loss",
         weight_mode=weight_mode, loss_setting=args.loss_settings,
         input_adv=input_adv, remat_tails=args.remat_tails,

@@ -41,8 +41,10 @@ IGNORE = 255
 # (single-pass) truncates f32 multiplicands to bf16, which the first
 # on-chip smoke measured at ~0.3-0.7% relative gradient error vs the
 # XLA resize+CE path (itself f32-exact — XLA lowers the bilinear resize
-# to elementwise gathers, not MXU dots). The multi-pass cost is ~1% of
-# the seg step (the dots here are ~21 GFLOP/site vs a ~38 TFLOP step).
+# to elementwise gathers, not MXU dots). HIGHEST restores exact parity
+# (grad rel err <=1.1e-5 across all six recipe geometries on-chip) for a
+# measured ~5% of the fused seg step (768 crop: 179.2 -> 189.6 ms;
+# 512: 72.1 -> 75.0 ms — both still ~1.7x the XLA path's 316/129 ms).
 _PREC = jax.lax.Precision.HIGHEST
 
 

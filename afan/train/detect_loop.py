@@ -158,6 +158,12 @@ class DetAfanConfig:
     eps: float = 2.0 / 255
     randinit: bool = False
     clip: bool = False
+    # technique flags beyond the reference (PAPERS.md; core/attack.py) —
+    # same semantics as AlfaConfig: 'grad' raw-direction steps and
+    # WITCHcraft per-step random step sizes, applied to every ascent in
+    # the step (input, SE, SD).
+    step_mode: str = "sign"       # 'sign' | 'grad'
+    random_steps: bool = False
     # jax.checkpoint the spectrum tails. Default OFF since share_proposals
     # + the separable-contraction ROIAlign freed enough HBM: measured
     # 113 -> 95 ms (VOC b2 608x1008) and 80 -> 69 ms (COCO b1 800x1344,
@@ -240,7 +246,9 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
                 return full_losses(variables, None, None, r_inp, x=x).total()
             adv_img = pgd(inp_loss, images, steps=cfg.input_adv_steps,
                           gamma=cfg.input_adv_gamma, eps=cfg.input_adv_eps,
-                          randinit=True, clip=True, rng=r_inp)
+                          randinit=True, clip=True, rng=r_inp,
+                          step_mode=cfg.step_mode,
+                          random_steps=cfg.random_steps)
             images_l0 = jnp.clip(jax.lax.stop_gradient(adv_img), 0.0, 1.0)
 
         # (1) SE features, detached
@@ -256,7 +264,9 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
             def se_loss(f, tap=tap):
                 return full_losses(variables, tap, f, r_se).total()
             adv = pgd(se_loss, feat, steps=cfg.steps, gamma=g, eps=cfg.eps,
-                      randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
+                      randinit=cfg.randinit, clip=cfg.clip, rng=r_se,
+                      step_mode=cfg.step_mode,
+                      random_steps=cfg.random_steps)
             se_advs.append(jax.lax.stop_gradient(adv))
 
         # (2)+(3b) SD attack
@@ -277,7 +287,9 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
 
             adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
                          gamma=cfg.gamma_sd, eps=cfg.eps,
-                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd,
+                         step_mode=cfg.step_mode,
+                         random_steps=cfg.random_steps)
             adv_sd = jax.lax.stop_gradient(adv_sd)
             # (4) AFN + noise on the SD feature (`:111-115`)
             if cfg.mix_sd:
@@ -299,7 +311,9 @@ def make_afan_det_step(model: FasterRCNN, tx, cfg: DetAfanConfig):
 
             adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
                          gamma=cfg.gamma_sd, eps=cfg.eps,
-                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd,
+                         step_mode=cfg.step_mode,
+                         random_steps=cfg.random_steps)
             adv_sd = jax.lax.stop_gradient(adv_sd)
             if cfg.mix_sd:
                 adv_sd = mix_feature(sd_clean, adv_sd)

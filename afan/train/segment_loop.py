@@ -123,6 +123,12 @@ class SegAfanConfig:
     adv_weight: float = 0.1
     randinit: bool = False
     clip: bool = False
+    # technique flags beyond the reference (PAPERS.md; core/attack.py) —
+    # same semantics as AlfaConfig: 'grad' raw-direction steps and
+    # WITCHcraft per-step random step sizes, applied to every ascent in
+    # the step (input, SE, extra taps, SD).
+    step_mode: str = "sign"       # 'sign' | 'grad'
+    random_steps: bool = False
     use_focal: bool = False
     # jax.checkpoint the spectrum tails. Default OFF — measured fits +
     # wins without it: 163 -> 153 ms (512 crop b4), 485 -> 464 ms
@@ -324,7 +330,9 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                 return site_loss(lo)
             adv_img = pgd(inp_loss, images, steps=cfg.input_adv_steps,
                           gamma=cfg.input_adv_gamma, eps=cfg.input_adv_eps,
-                          randinit=True, clip=True, rng=r_inp)
+                          randinit=True, clip=True, rng=r_inp,
+                          step_mode=cfg.step_mode,
+                          random_steps=cfg.random_steps)
             images_l0 = jnp.clip(jax.lax.stop_gradient(adv_img), 0.0, 1.0)
 
         # (1)+(2) attack-side features. With an SD tap configured, ONE
@@ -365,7 +373,8 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
         adv_se = pgd(se_loss, feat_se, steps=cfg.steps, gamma=cfg.gamma_se,
                      eps=cfg.eps, randinit=cfg.randinit, clip=cfg.clip,
-                     rng=r_se)
+                     rng=r_se, step_mode=cfg.step_mode,
+                     random_steps=cfg.random_steps)
         adv_se = jax.lax.stop_gradient(adv_se)
 
         # extra multi-layer taps: one adv point each
@@ -381,7 +390,9 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
                 return site_loss(
                     tap_tail_lo(variables, f, tap, r_se, low_level))
             a = pgd(t_loss, f_t, steps=cfg.steps, gamma=g, eps=cfg.eps,
-                    randinit=cfg.randinit, clip=cfg.clip, rng=r_se)
+                    randinit=cfg.randinit, clip=cfg.clip, rng=r_se,
+                    step_mode=cfg.step_mode,
+                    random_steps=cfg.random_steps)
             a = jax.lax.stop_gradient(a)
             if cfg.mix_all:
                 a = mix_feature(f_t, a)
@@ -402,7 +413,9 @@ def make_afan_seg_step(model: DeepLab, tx, cfg: SegAfanConfig):
 
             adv_sd = pgd(sd_loss, sd_clean, steps=cfg.steps,
                          gamma=cfg.gamma_sd, eps=cfg.eps,
-                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd)
+                         randinit=cfg.randinit, clip=cfg.clip, rng=r_sd,
+                         step_mode=cfg.step_mode,
+                         random_steps=cfg.random_steps)
             adv_sd = jax.lax.stop_gradient(adv_sd)
             if cfg.mix_sd:
                 adv_sd = mix_feature(sd_clean, adv_sd)

@@ -27,7 +27,7 @@ from afan.train.segment_loop import _per_entry_loss_sums
 CASES = [
     ("city768", 2, 768, 192, 19, None),
     ("city512", 2, 512, 128, 19, None),
-    ("voc513", 2, 513, 129, 21, None),          # odd H -> TH=1 grid
+    ("voc513", 2, 513, 129, 21, None),          # odd H -> pad-H tile
     ("voc513_focal", 2, 513, 129, 21, (1.0, 2.0)),
     ("city768_focal", 2, 768, 192, 19, (1.0, 2.0)),
     ("tiny32", 2, 32, 8, 4, None),              # the test-suite geometry

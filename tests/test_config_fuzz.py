@@ -91,6 +91,8 @@ class TestDetectFuzz:
             steps=int(r.choice([1, 2])),
             randinit=bool(r.randint(2)),
             clip=bool(r.randint(2)),
+            step_mode=str(r.choice(["sign", "grad"])),
+            random_steps=bool(r.randint(2)),
             remat_tails=bool(r.randint(2)),
             weight_mode=weight_mode,
             loss_setting=int(r.choice([1, 2, 3, 4])),
@@ -138,6 +140,8 @@ class TestSegmentFuzz:
             noise_sd=float(r.choice([0.0, 0.1])),
             randinit=bool(r.randint(2)),
             clip=bool(r.randint(2)),
+            step_mode=str(r.choice(["sign", "grad"])),
+            random_steps=bool(r.randint(2)),
             use_focal=bool(r.randint(2)),
             remat_tails=bool(r.randint(2)),
             fold_sites=bool(r.randint(2)),
