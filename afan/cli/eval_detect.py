@@ -57,6 +57,11 @@ def get_parser():
                    dest="pgd_gamma")
     p.add_argument("--pgd_eps", "--eps", type=float, default=8.0,
                    dest="pgd_eps")
+    p.add_argument("--pgd_bailout_tol", type=float, default=None,
+                   help="beyond-reference: stop the eval attack early "
+                        "once the relative loss change per step drops "
+                        "below this (arxiv 2503.19347); saves wall-clock "
+                        "for long attacks (--pgd_steps >> 5)")
     # sat layers (`eval_sat_layers.py:42-49`)
     p.add_argument("--sat_tap", "--pertub_idx", type=int, default=2,
                    dest="sat_tap")
@@ -130,7 +135,8 @@ def main(argv=None):
         # evaluator sees attacked images.
         attack = make_detection_pgd_fn(model, args.pgd_steps,
                                        args.pgd_gamma / 255,
-                                       args.pgd_eps / 255)
+                                       args.pgd_eps / 255,
+                                       bailout_tol=args.pgd_bailout_tol)
         base_detect = make_detect_fn(model)
         eval_state = state
 

@@ -71,6 +71,11 @@ def main(argv=None):
                    dest="pgd_gamma")
     p.add_argument("--pgd_eps", "--eps_pgd", type=float, default=8.0,
                    dest="pgd_eps")
+    p.add_argument("--pgd_bailout_tol", type=float, default=None,
+                   help="beyond-reference: stop the eval attack early "
+                        "once the relative loss change per step drops "
+                        "below this (arxiv 2503.19347); saves wall-clock "
+                        "for long attacks (--pgd_steps >> 5)")
     p.add_argument("--randinit_pgd", action="store_true")
     p.add_argument("--clip_pgd", action="store_true")
     p.add_argument("--limit_images", type=int, default=0)
@@ -145,7 +150,9 @@ def main(argv=None):
                                     gamma=args.pgd_gamma / 255,
                                     eps=args.pgd_eps / 255,
                                     randinit=args.randinit_pgd,
-                                    clip=args.clip_pgd, rng=rng), 0.0, 1.0)
+                                    clip=args.clip_pgd, rng=rng,
+                                    bailout_tol=args.pgd_bailout_tol),
+                                0.0, 1.0)
             return attack
 
         # Same fail-safe as the trainer: a Mosaic rejection of the fused

@@ -60,6 +60,7 @@ def pgd(
     rng: Optional[jax.Array] = None,
     step_mode: str = "sign",
     random_steps: bool = False,
+    bailout_tol: Optional[float] = None,
 ) -> jnp.ndarray:
     """k-step gradient ascent on ``x`` maximizing ``loss_fn``.
 
@@ -80,6 +81,17 @@ def pgd(
     * ``random_steps=True`` — per-step step size drawn uniformly from
       ``(0, 2*gamma)`` (mean ``gamma``; WITCHcraft, arxiv 1911.07989).
       Requires ``rng``.
+    * ``bailout_tol=t`` — EVAL-ONLY early bailout ("Stop Walking in
+      Circles!", arxiv 2503.19347, adapted to a TPU-static form): the
+      ascent becomes a ``lax.while_loop`` that stops once the relative
+      loss change between consecutive iterates drops to ``<= t`` (loss
+      plateau — the batch-global proxy for the paper's per-sample cycle
+      detection; a jitted loop cannot retire samples individually
+      without dynamic shapes). Saves real wall-clock only for long
+      attacks (robustness evals with tens of steps) — training recipes
+      use 1-5 steps where the static ``scan`` is faster to compile and
+      reverse-differentiable; ``while_loop`` is not, so this must stay
+      off inside any loss being differentiated.
     """
     if step_mode not in ("sign", "grad"):
         raise ValueError(f"unknown step_mode {step_mode!r}")
@@ -120,7 +132,31 @@ def pgd(
             x_adv = linfball_proj(x, eps, x_adv)
         return x_adv, None
 
-    x_adv, _ = jax.lax.scan(body, x0, gammas)
+    if bailout_tol is None:
+        x_adv, _ = jax.lax.scan(body, x0, gammas)
+        return x_adv
+
+    vg_fn = jax.value_and_grad(loss_fn)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+
+    def w_cond(carry):
+        i, _, _, delta = carry
+        return jnp.logical_and(i < steps, delta > bailout_tol)
+
+    def w_body(carry):
+        i, x_adv, prev, _ = carry
+        loss, g = vg_fn(x_adv)
+        x_adv = x_adv + gammas[i] * direction(g)
+        if clip:
+            if eps is None:
+                raise ValueError("clip=True requires eps")
+            x_adv = linfball_proj(x, eps, x_adv)
+        loss = loss.astype(jnp.float32)
+        delta = jnp.abs(loss - prev) / jnp.maximum(jnp.abs(loss), 1.0)
+        return i + 1, x_adv, loss, delta
+
+    _, x_adv, _, _ = jax.lax.while_loop(
+        w_cond, w_body, (jnp.asarray(0), x0, big, big))
     return x_adv
 
 

@@ -31,7 +31,7 @@ from ..core.attack import pgd
 
 def make_robust_eval_step(model, num_classes: int, steps: int = 3,
                           gamma: float = 2.0 / 255, eps: float = 8.0 / 255,
-                          randinit: bool = True):
+                          randinit: bool = True, bailout_tol=None):
     """Classification robustness: input PGD against the eval-mode model,
     then top-1 on the adversarial inputs."""
     import optax
@@ -45,7 +45,7 @@ def make_robust_eval_step(model, num_classes: int, steps: int = 3,
                 logits, labels).mean()
 
         adv = pgd(loss_fn, images, steps=steps, gamma=gamma, eps=eps,
-                  randinit=randinit, rng=rng)
+                  randinit=randinit, rng=rng, bailout_tol=bailout_tol)
         logits = model.apply(variables, adv, 0, None, False)
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return {"correct": correct,
@@ -55,7 +55,8 @@ def make_robust_eval_step(model, num_classes: int, steps: int = 3,
 
 
 def make_detection_pgd_fn(model, steps: int = 3, gamma: float = 2.0 / 255,
-                          eps: float = 8.0 / 255, randinit: bool = False):
+                          eps: float = 8.0 / 255, randinit: bool = False,
+                          bailout_tol=None):
     """``eval_PGD`` parity (`Detection/attack_algo.py:207-233`): attack the
     input against the TRAIN-mode 4-loss sum, no final [0,1] clamp."""
 
@@ -68,7 +69,7 @@ def make_detection_pgd_fn(model, steps: int = 3, gamma: float = 2.0 / 255,
                                r_attack, method=model.losses).total()
 
         return pgd(loss_fn, images, steps=steps, gamma=gamma, eps=eps,
-                   randinit=randinit, rng=r_init)
+                   randinit=randinit, rng=r_init, bailout_tol=bailout_tol)
 
     return jax.jit(attack)
 

@@ -204,6 +204,31 @@ class TestPGD:
         fixed = pgd(lambda z: jnp.sum(w * z), x, steps=50, gamma=0.01)
         assert not np.allclose(np.asarray(a1), np.asarray(fixed))
 
+    def test_bailout_matches_scan_when_no_plateau(self):
+        # a quadratic loss keeps growing, so a tight tolerance never
+        # triggers and the while_loop result bit-matches the scan path.
+        w = jnp.asarray([1.0, -2.0, 0.5, -0.1])
+        x = jnp.asarray([0.3, -0.2, 0.1, 0.05])
+        loss = lambda z: jnp.sum((w * z) ** 2)
+        full = pgd(loss, x, steps=5, gamma=0.01)
+        bo = pgd(loss, x, steps=5, gamma=0.01, bailout_tol=1e-12)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(bo))
+
+    def test_bailout_stops_early_on_plateau(self):
+        # linear loss: every step changes the loss by the same amount, so
+        # a huge tolerance bails after the SECOND step (the first delta is
+        # computed against the +inf sentinel). Result == the 2-step scan.
+        w = jnp.asarray([1.0, -2.0, 0.5, -0.1])
+        x = jnp.zeros((4,))
+        loss = lambda z: jnp.sum(w * z)
+        bo = pgd(loss, x, steps=50, gamma=0.01, bailout_tol=1e9)
+        two = pgd(loss, x, steps=2, gamma=0.01)
+        np.testing.assert_array_equal(np.asarray(bo), np.asarray(two))
+        # and it jits (the eval CLIs wrap it in jax.jit)
+        jj = jax.jit(lambda z: pgd(loss, z, steps=50, gamma=0.01,
+                                   bailout_tol=1e9))
+        np.testing.assert_array_equal(np.asarray(jj(x)), np.asarray(two))
+
     def test_bad_step_mode_raises(self):
         with pytest.raises(ValueError):
             pgd(lambda z: jnp.sum(z), jnp.zeros((2,)), steps=1, gamma=0.1,
