@@ -9,8 +9,15 @@ Emits one JSON line per metric (driver protocol), flagship LAST:
      parameterized (`Detection/train_aug_sat_advt.py:78-132`: 5-step
      input-PGD + SE tap 2 spectrum-5 with AFN on points 3,4, no SD) —
      5 extra fwd/bwd heavier than the flagship step.
+  2b. afan_det_b8_train_step_ms / afan_det_b8_mfu_pct — the flagship
+     step at the reference's ACTUAL per-device batch (ADVICE r4:
+     --batch_size=8 via nn.DataParallel = 8 imgs/GPU on one GPU), with
+     the falsifiable MFU cross-check.
   3. afan_seg_train_imgs_per_sec_per_chip — A-FAN segmentation step at
-     512 crop (round 1/2 continuity metric).
+     512 crop (round 1/2 continuity metric). Seg lines carry
+     ``fused_ce_active``: false means the Pallas resize+CE kernel
+     failed to compile and the XLA fallback ran (a ~1.7x regression
+     that must be loud in the record, VERDICT r4 #3).
   4. afan_seg_city768_imgs_per_sec_per_chip — BASELINE.md tracked
      config 5 at its REAL geometry (Cityscapes 768 crop, b4,
      `Segmentation/sh/city/clean50/091_city_final01.sh`).
@@ -54,6 +61,10 @@ DET_A100_EST_MS_PER_STEP = 650.0
 # config 4 (sat_advt) adds a 5-step input-PGD (5 fwd+bwd through the full
 # detector) on top: ~28 forward-equivalents -> ~900 ms/step.
 DET_SAT_ADVT_A100_EST_MS_PER_STEP = 900.0
+# b8 (the reference's single-GPU per-device batch, ADVICE r4): 4x the b2
+# estimate — conservative, since per-image FLOPs grow with batch in the
+# fixed-capacity heads (ROADMAP det batch curve).
+DET_B8_A100_EST_MS_PER_STEP = 2600.0
 # Segmentation: plain DeepLabv3+ R50 513-crop torch trains at ~60 imgs/s
 # on A100; the A-FAN step is ~8-9 forward-equivalents vs ~3.
 SEG_A100_EST_IMGS_PER_SEC = 20.0
@@ -81,12 +92,14 @@ def _time_steps(run_one, sync, iters, windows=3):
     return times[0], times[len(times) // 2]
 
 
-def _emit(metric, value, unit, vs_baseline, min_value=None):
+def _emit(metric, value, unit, vs_baseline, min_value=None, extra=None):
     rec = {"metric": metric, "value": round(value, 3), "unit": unit,
            "vs_baseline": round(vs_baseline, 3)}
     if min_value is not None:
         rec["min"] = round(min_value, 3)
         rec["median"] = rec["value"]
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
 
 
@@ -116,28 +129,51 @@ def _det_setup(batch=2, H=608, W=1008):
     return model, tx, state, (images, boxes, labels, valid), key
 
 
-def _bench_det_config(cfg, metric, est_ms):
+def _bench_det_config(cfg, metric, est_ms, batch=2, iters=10,
+                      emit_mfu=False):
     import jax
 
     from afan.train.detect_loop import make_afan_det_step
 
-    model, tx, state, (images, boxes, labels, valid), key = _det_setup()
+    model, tx, state, (images, boxes, labels, valid), key = _det_setup(
+        batch=batch)
     step = make_afan_det_step(model, tx, cfg)
+    # compile once and reuse (the remote runtime can hang when the same
+    # program is compiled twice); the compiled object also gives FLOPs
+    compiled = step.lower(state, images, boxes, labels, valid,
+                          key).compile()
+    step_flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost["flops"]) or None
+    except Exception:
+        pass
     holder = {"state": state}
 
     def run_one():
         holder["i"] = holder.get("i", 0) + 1
-        holder["state"], holder["m"] = step(
+        holder["state"], holder["m"] = compiled(
             holder["state"], images, boxes, labels, valid,
             jax.random.fold_in(key, holder["i"]))
 
     def sync():
         _ = float(holder["m"]["loss"])
 
-    run_one(); run_one(); sync()  # compile + warmup
-    mn, med = _time_steps(run_one, sync, iters=10)
+    run_one(); run_one(); sync()  # warmup
+    mn, med = _time_steps(run_one, sync, iters=iters)
     _emit(metric, med * 1e3, "ms/step", est_ms / (med * 1e3),
           min_value=mn * 1e3)
+    if emit_mfu and step_flops:
+        # falsifiable cross-check (same structure as the ALFA/seg MFU
+        # lines): our MFU on v5e vs the MFU the reference's estimated
+        # A100 step time would imply under the SAME flops model.
+        mfu = step_flops / med / V5E_BF16_PEAK_FLOPS * 100
+        ref_mfu = step_flops / (est_ms / 1e3) / A100_BF16_PEAK_FLOPS * 100
+        _emit(metric.replace("train_step_ms", "mfu_pct"), mfu,
+              "% of v5e bf16 peak", mfu / ref_mfu,
+              min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
 
 
 def bench_detection():
@@ -154,6 +190,13 @@ def bench_detection():
                              loss_setting=1, input_adv=True)
     _bench_det_config(sat_advt, "afan_det_sat_advt_step_ms",
                       DET_SAT_ADVT_A100_EST_MS_PER_STEP)
+    # the reference's ACTUAL per-device operating point (ADVICE r4:
+    # --batch_size=8 through nn.DataParallel = 8 imgs/GPU single-GPU,
+    # 090_final_setting1.sh) — emitted with the falsifiable MFU
+    # cross-check; measured 42% of bf16 peak in the round-4 batch curve.
+    _bench_det_config(DetAfanConfig(), "afan_det_b8_train_step_ms",
+                      DET_B8_A100_EST_MS_PER_STEP, batch=8, iters=5,
+                      emit_mfu=True)
 
 
 def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
@@ -184,6 +227,11 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
     # program can transiently hang the tunneled runtime). If the fused
     # upsample+CE kernel ever fails this backend's Mosaic, fall back to
     # the XLA path rather than losing the metric.
+    # fused_ce_active is emitted on the metric lines (VERDICT r4 #3): a
+    # Mosaic compile regression must be LOUD in the driver record, not a
+    # silent ~1.7x seg throughput loss hiding behind the fallback.
+    from afan.train.segment_loop import _resolve_fused
+    fused_active = _resolve_fused("auto", False)[0]
     try:
         step = make_afan_seg_step(model, tx, SegAfanConfig(
             mix_mask=(0, 0, 1), mix_sd=True))
@@ -192,6 +240,7 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
         import sys
         print("seg bench: fused_ce compile failed; XLA fallback",
               file=sys.stderr)
+        fused_active = False
         step = make_afan_seg_step(model, tx, SegAfanConfig(
             mix_mask=(0, 0, 1), mix_sd=True, fused_ce=False))
         compiled = step.lower(state, images, labels, key).compile()
@@ -218,7 +267,8 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
     run_one(); run_one(); sync()
     mn, med = _time_steps(run_one, sync, iters=iters)
     _emit(metric, batch / med, "imgs/sec",
-          (batch / med) / est_imgs_per_sec, min_value=batch / mn)
+          (batch / med) / est_imgs_per_sec, min_value=batch / mn,
+          extra={"fused_ce_active": bool(fused_active)})
     if emit_mfu and step_flops:
         # hardware-normalized cross-check (same structure as the ALFA MFU
         # line): our MFU on v5e vs the MFU the reference's estimated
@@ -230,7 +280,8 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
             / A100_BF16_PEAK_FLOPS * 100
         _emit(metric.replace("imgs_per_sec_per_chip", "mfu_pct"), mfu,
               "% of v5e bf16 peak", mfu / ref_mfu,
-              min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
+              min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100,
+              extra={"fused_ce_active": bool(fused_active)})
 
 
 def bench_segmentation():

@@ -93,7 +93,34 @@ def bench(bs, rtt, label):
     return per_call
 
 
+def smoke_parity():
+    """Exact parity of the TPU Pallas lowering vs the C++ oracle
+    (scripts/tpu_smoke.sh standing check — the CI golden test only
+    covers interpret mode; this exercises real Mosaic)."""
+    from afan.ops.native import nms_cpu
+
+    valid = jnp.ones((N,), bool)
+    ok = True
+    for label, boxes in (("uniform", make(1)),
+                         ("clustered", make(8, clustered=True))):
+        bs = np.asarray(boxes)
+        scores = np.linspace(1.0, 1e-3, N).astype(np.float32)  # pre-sorted
+        keep = np.asarray(K.nms_sorted_mask_pallas(boxes, valid, 0.7))
+        got = set(np.nonzero(keep)[0].tolist())
+        want = set(nms_cpu(bs, scores, 0.7).tolist())
+        if got == want:
+            print(f"{label}: parity ok ({len(want)} kept)")
+        else:
+            ok = False
+            print(f"{label}: PARITY MISMATCH "
+                  f"(pallas {len(got)} vs oracle {len(want)}, "
+                  f"diff {len(got ^ want)})")
+    return ok
+
+
 if __name__ == "__main__":
+    if "--smoke" in sys.argv:
+        sys.exit(0 if smoke_parity() else 1)
     rtt = measure_rtt()
     print(f"tunnel RTT (subtracted): {rtt*1e3:.1f} ms")
     bench(make(0), rtt, "uniform  ")

@@ -183,3 +183,27 @@ def test_randomized_no_crowd_matches_with_empty_crowd_dict():
     r2 = _agree(gt, ids, boxes, classes, probs, {})
     for k in KEYS:
         assert r1[k] == pytest.approx(r2[k])
+
+
+@pytest.mark.slow
+def test_fuzz_sweep_100_scenes():
+    """Seeded 100-scene oracle sweep (VERDICT r4 #5): scene geometry
+    (image count, class count, tie-grid coarseness) itself varies per
+    seed, biased toward the interaction cases (crowd x ties x maxDets x
+    area). Any disagreement reports the failing seed for replay."""
+    for seed in range(100, 200):
+        shape_rng = np.random.RandomState(seed * 7 + 1)
+        kwargs = dict(n_images=int(shape_rng.randint(2, 7)),
+                      num_classes=int(shape_rng.randint(2, 7)),
+                      tie_grid=int(shape_rng.choice([4, 10, 25])))
+        gt, ids, boxes, classes, probs, crowd = _random_scene(
+            seed, flood_img=int(shape_rng.randint(kwargs["n_images"])),
+            **kwargs)
+        if shape_rng.rand() < 0.2:  # crowd-free scenes too
+            crowd = None
+        try:
+            _agree(gt, ids, boxes, classes, probs, crowd,
+                   num_classes=kwargs["num_classes"])
+        except AssertionError as e:
+            pytest.fail(f"COCO oracle disagreement at seed={seed} "
+                        f"{kwargs}: {e}")

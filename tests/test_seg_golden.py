@@ -88,3 +88,32 @@ class TestSegGolden:
             pred = rng.randint(0, 6, shape)  # class 6 never predicted
             scenes.append((gt, pred))
         _agree(scenes, n_classes, via_device=via_device)
+
+    @pytest.mark.slow
+    def test_fuzz_sweep_100_streams(self):
+        """Seeded 100-stream oracle sweep (VERDICT r4 #5), biased toward
+        absent-class x predicted-only-class x ignore-255 interactions
+        (gt restricted to a random class subset; heavy ignore masks;
+        streams where some update is all-ignore). Disagreements report
+        the failing seed for replay."""
+        import pytest as _pytest
+        for seed in range(500, 600):
+            rng = np.random.RandomState(seed)
+            n_classes = int(rng.randint(2, 10))
+            gt_hi = int(rng.randint(1, n_classes + 1))      # absent tail
+            pred_hi = int(rng.randint(1, n_classes + 1))
+            ignore_p = float(rng.choice([0.0, 0.1, 0.5, 0.95]))
+            scenes = []
+            for _ in range(int(rng.randint(1, 6))):
+                shape = (int(rng.randint(1, 12)), int(rng.randint(1, 12)))
+                gt = rng.randint(0, gt_hi, shape)
+                gt[rng.rand(*shape) < ignore_p] = 255
+                pred = rng.randint(0, pred_hi, shape)
+                scenes.append((gt, pred))
+            try:
+                _agree(scenes, n_classes)
+            except AssertionError as e:
+                _pytest.fail(
+                    f"seg oracle disagreement at seed={seed} "
+                    f"n_classes={n_classes} gt_hi={gt_hi} "
+                    f"pred_hi={pred_hi} ignore_p={ignore_p}: {e}")

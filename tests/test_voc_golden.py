@@ -117,3 +117,24 @@ def test_randomized_scenes(seed, metric07):
     m, _ = _agree(gt, ids, boxes, classes, probs,
                   use_07_metric=metric07)
     assert 0.0 < m < 1.0
+
+
+@pytest.mark.slow
+def test_fuzz_sweep_100_scenes():
+    """Seeded 100-scene oracle sweep (VERDICT r4 #5), both AP metrics
+    per scene, geometry varied per seed — biased toward the
+    difficult-gt x double-match interaction the protocol is quirkiest
+    about. Disagreements report the failing seed for replay."""
+    for seed in range(300, 400):
+        shape_rng = np.random.RandomState(seed * 13 + 5)
+        kwargs = dict(n_images=int(shape_rng.randint(2, 8)),
+                      num_classes=int(shape_rng.randint(2, 7)))
+        gt, ids, boxes, classes, probs = _random_scene(seed, **kwargs)
+        for metric07 in (True, False):
+            try:
+                _agree(gt, ids, boxes, classes, probs,
+                       num_classes=kwargs["num_classes"],
+                       use_07_metric=metric07)
+            except AssertionError as e:
+                pytest.fail(f"VOC oracle disagreement at seed={seed} "
+                            f"metric07={metric07} {kwargs}: {e}")
