@@ -44,18 +44,22 @@ class StreamSegMetrics:
         it from Mean IoU / Mean Acc (the reference's behavior). Guarding
         the denominator would instead count such classes as 0 and deflate
         both means whenever a class never appears (small val subsets,
-        early training). Cross-checked against an independent oracle in
-        tests/seg_oracle.py.
+        early training). The same applies to the GLOBAL sums: a stream
+        whose every pixel is ignored has an empty hist, and Overall
+        Acc / FreqW Acc divide 0/0 -> NaN in the reference too (found by
+        the round-5 100-stream oracle sweep — a max(.,1) guard here
+        returned 0.0 instead). Cross-checked against an independent
+        oracle in tests/seg_oracle.py.
         """
         hist = self.confusion_matrix.astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            acc = np.diag(hist).sum() / max(hist.sum(), 1)
+            acc = np.diag(hist).sum() / hist.sum()
             acc_cls = np.diag(hist) / hist.sum(axis=1)
             acc_cls = np.nanmean(acc_cls)
             iu = np.diag(hist) / (
                 hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist))
             mean_iu = np.nanmean(iu)
-            freq = hist.sum(axis=1) / max(hist.sum(), 1)
+            freq = hist.sum(axis=1) / hist.sum()
             fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
         cls_iu = dict(zip(range(self.n_classes), iu))
         return {
