@@ -21,9 +21,13 @@ Emits one JSON line per metric (driver protocol), flagship LAST:
   4. afan_seg_city768_imgs_per_sec_per_chip — BASELINE.md tracked
      config 5 at its REAL geometry (Cityscapes 768 crop, b4,
      `Segmentation/sh/city/clean50/091_city_final01.sh`).
-  5. learnable_train_imgs_per_sec_per_chip — BASELINE.md tracked
-     config 3 (`Classification/main_learnable.py`: 9 taps, 3-step PGD
-     each, learnable eta, two optimizers).
+  4b. afan_seg_city768_b8_* — the same recipe at b8 (a valid single-GPU
+     reference invocation), where the seg batch curve measured 40% of
+     bf16 peak; emitted with the falsifiable MFU cross-check.
+  5. learnable_train_imgs_per_sec_per_chip (+ learnable_train_mfu_pct
+     cross-check) — BASELINE.md tracked config 3
+     (`Classification/main_learnable.py`: 9 taps, 3-step PGD each,
+     learnable eta, two optimizers).
   6. alfa_train_mfu_pct         — model FLOPs utilization of the ALFA step
      vs the v5e bf16 peak (197 TFLOP/s), from XLA's own cost analysis of
      the compiled program (fallback: documented analytic estimate).
@@ -70,6 +74,11 @@ DET_B8_A100_EST_MS_PER_STEP = 2600.0
 SEG_A100_EST_IMGS_PER_SEC = 20.0
 # same estimate scaled to the 768-crop pixel count (513^2/768^2).
 SEG768_A100_EST_IMGS_PER_SEC = 8.9
+# b8 (a valid single-GPU reference invocation of the same recipe):
+# conservative +20% batching headroom over the b4 estimate — seg
+# per-image FLOPs are flat with batch (ROADMAP seg batch curve), so any
+# A100 gain is pure utilization; granting it keeps vs_baseline honest.
+SEG768_B8_A100_EST_IMGS_PER_SEC = 10.7
 
 V5E_BF16_PEAK_FLOPS = 197e12
 A100_BF16_PEAK_FLOPS = 312e12
@@ -200,7 +209,7 @@ def bench_detection():
 
 
 def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
-                        emit_mfu=False):
+                        emit_mfu=False, batch=4):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -210,7 +219,7 @@ def _bench_seg_geometry(crop, metric, est_imgs_per_sec, iters,
     from afan.train.segment_loop import (SegAfanConfig, make_afan_seg_step,
                                          segmentation_tx)
 
-    batch, ncls = 4, 19  # cityscapes geometry, BASELINE config 5
+    ncls = 19  # cityscapes geometry, BASELINE config 5 (default b4)
     model = build_model("deeplabv3plus_resnet50", ncls, 16, jnp.bfloat16)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, crop, crop, 3), jnp.float32)
@@ -290,6 +299,12 @@ def bench_segmentation():
     _bench_seg_geometry(768, "afan_seg_city768_imgs_per_sec_per_chip",
                         SEG768_A100_EST_IMGS_PER_SEC, iters=10,
                         emit_mfu=True)
+    # b8 at 768 — a valid single-GPU reference invocation; the seg batch
+    # curve (ROADMAP round 5) measured 40% of bf16 peak here, mirroring
+    # the detection b8 point.
+    _bench_seg_geometry(768, "afan_seg_city768_b8_imgs_per_sec_per_chip",
+                        SEG768_B8_A100_EST_IMGS_PER_SEC, iters=5,
+                        emit_mfu=True, batch=8)
 
 
 def bench_learnable():
@@ -320,6 +335,18 @@ def bench_learnable():
          "w": sgd(lambda c: 0.01, 0.9, 0.0)}, label_fn)
     state = TrainState.create(variables, tx)
     step = make_learnable_step(model, tx, LearnableConfig())
+    # FLOPs for the MFU cross-check (VERDICT r4 #5: results MFU-first).
+    # The usual compiled.cost_analysis() route is unavailable here:
+    # `lower().compile()` of THIS program hung the tunneled remote
+    # compile >15 min (measured, rc=124) even though the direct jitted
+    # call compiles it fine; on the axon backend Lowered.cost_analysis()
+    # returns None, and re-lowering just to ask costs ~2 min of tracing.
+    # So the FLOPs are the XLA-HLO-measured constant from
+    # scripts/learnable_flops.py (CPU-backend compile of the identical
+    # program: 8.378e11 flops at b128 = 6.5 GFLOP/img ~= 50
+    # fwd-equivalents of ResNet-56, in line with the 9-head + 27-ascent
+    # + 9-scaled + clean structure).
+    step_flops = 8.378e11 * (batch / 128)
 
     holder = {"state": state}
 
@@ -336,6 +363,13 @@ def bench_learnable():
     _emit("learnable_train_imgs_per_sec_per_chip", batch / med, "imgs/sec",
           (batch / med) / LEARNABLE_A100_EST_IMGS_PER_SEC,
           min_value=batch / mn)
+    if step_flops:
+        mfu = step_flops / med / V5E_BF16_PEAK_FLOPS * 100
+        ref_mfu = (step_flops / batch) * LEARNABLE_A100_EST_IMGS_PER_SEC \
+            / A100_BF16_PEAK_FLOPS * 100
+        _emit("learnable_train_mfu_pct", mfu, "% of v5e bf16 peak",
+              mfu / ref_mfu,
+              min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
 
 
 def bench_alfa():
