@@ -22,7 +22,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..data.cifar import (augment_batch_device, cifar10_dataloaders,
                           cifar100_dataloaders)
@@ -36,7 +35,8 @@ from ..train.loop import (AlfaConfig, LearnableConfig, TrainState,
                           make_alfa_step, make_base_step,
                           make_device_data_alfa_step, make_epoch_scan_alfa,
                           make_eval_step, make_learnable_step)
-from ..train.optim import multistep_warmup_schedule, sgd
+from ..train.optim import (learnable_tx,
+                           multistep_warmup_schedule, sgd)
 from ..utils.logging import Log
 from ..utils.meters import AverageMeter
 
@@ -121,12 +121,8 @@ def build_tx(args, steps_per_epoch: int):
     schedule = multistep_warmup_schedule(
         args.lr, milestones, 0.1, warmup_steps=steps_per_epoch)
     if args.mode == "learnable":
-        def label_fn(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: "w" if path[0].key == "w" else "model", params)
-        return optax.multi_transform(
-            {"model": sgd(schedule, args.momentum, args.weight_decay),
-             "w": sgd(lambda c: args.w_lr, args.momentum, 0.0)}, label_fn)
+        return learnable_tx(schedule, args.w_lr, args.momentum,
+                            args.weight_decay)
     return sgd(schedule, args.momentum, args.weight_decay)
 
 

@@ -44,11 +44,14 @@ class StreamSegMetrics:
         it from Mean IoU / Mean Acc (the reference's behavior). Guarding
         the denominator would instead count such classes as 0 and deflate
         both means whenever a class never appears (small val subsets,
-        early training). The same applies to the GLOBAL sums: a stream
-        whose every pixel is ignored has an empty hist, and Overall
-        Acc / FreqW Acc divide 0/0 -> NaN in the reference too (found by
-        the round-5 100-stream oracle sweep — a max(.,1) guard here
-        returned 0.0 instead). Cross-checked against an independent
+        early training). The same applies to the GLOBAL sum: a stream
+        whose every pixel is ignored has an empty hist, and Overall Acc
+        divides 0/0 -> NaN in the reference too (found by the round-5
+        100-stream oracle sweep — a max(.,1) guard here returned 0.0
+        instead). FreqW Acc is the one exception: ``freq`` goes all-NaN
+        but ``freq > 0`` is all-False (NaN compares False), so its
+        masked sum is EMPTY and yields 0.0 — in the reference and here
+        alike. Cross-checked against an independent
         oracle in tests/seg_oracle.py.
         """
         hist = self.confusion_matrix.astype(np.float64)

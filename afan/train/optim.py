@@ -118,3 +118,30 @@ def sgd_with_param_groups(
         for label, scale in group_lr_scales.items()
     }
     return optax.multi_transform(transforms, label_fn)
+
+
+def learnable_tx(
+    schedule: optax.Schedule,
+    w_lr: float = 0.01,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+) -> optax.GradientTransformation:
+    """The learnable-eta trainer's two-group optimizer
+    (`Classification/main_learnable.py:202-253`): model params under
+    SGD(schedule, momentum, wd); the eta vector ``w`` (the ResNetS
+    top-level ``w`` param) under SGD(w_lr, momentum, wd=0).
+
+    ONE construction shared by the CLI, bench.py, the multichip dryrun,
+    and scripts/learnable_flops.py — bench.py's learnable MFU line embeds
+    the FLOP count learnable_flops.py measures, which is only valid
+    while all sites build the identical program (round-5 code review).
+    """
+    import jax
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "w" if path[0].key == "w" else "model", params)
+
+    return optax.multi_transform(
+        {"model": sgd(schedule, momentum, weight_decay),
+         "w": sgd(lambda c: w_lr, momentum, 0.0)}, label_fn)

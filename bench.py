@@ -84,19 +84,25 @@ V5E_BF16_PEAK_FLOPS = 197e12
 A100_BF16_PEAK_FLOPS = 312e12
 
 
+_RTT = 0.0  # measured once in main(); per-window host-fetch round trip
+
+
 def _time_steps(run_one, sync, iters, windows=3):
     """(min, median) wall time per step across timing windows. NOTE: sync
     by materializing a metric value — on this TPU runtime
     block_until_ready does not reliably await the dispatched chain
     (verified empirically); fetching the final step's loss transitively
-    forces all steps."""
+    forces all steps. The measured tunnel RTT of that one fetch (~35 ms,
+    `afan.utils.timing.measure_rtt`) is subtracted from each window so
+    short windows (b8 lines at iters=5, ALFA at 8 ms/step) aren't
+    inflated by the fetch (round-5 code-review finding)."""
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             run_one()
         sync()
-        times.append((time.perf_counter() - t0) / iters)
+        times.append((time.perf_counter() - t0 - _RTT) / iters)
     times.sort()
     return times[0], times[len(times) // 2]
 
@@ -311,12 +317,11 @@ def bench_learnable():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from afan.models.resnet_s import resnet56
     from afan.train.loop import (LearnableConfig, TrainState,
                                  make_learnable_step)
-    from afan.train.optim import sgd
+    from afan.train.optim import learnable_tx
 
     batch = 128
     model = resnet56(init_weight_eta=1.0 / 9, dtype=jnp.bfloat16)
@@ -326,13 +331,9 @@ def bench_learnable():
     y = jnp.asarray(np.random.RandomState(1).randint(0, 10, batch))
     variables = model.init(rng, x[:2], 0, None, False)
 
-    def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "w" if path[0].key == "w" else "model", params)
-
-    tx = optax.multi_transform(
-        {"model": sgd(lambda c: 0.1, 0.9, 5e-4),
-         "w": sgd(lambda c: 0.01, 0.9, 0.0)}, label_fn)
+    # the ONE shared two-group construction (afan.train.optim.learnable_tx)
+    # — scripts/learnable_flops.py measures the FLOPs of this exact program
+    tx = learnable_tx(lambda c: 0.1)
     state = TrainState.create(variables, tx)
     step = make_learnable_step(model, tx, LearnableConfig())
     # FLOPs for the MFU cross-check (VERDICT r4 #5: results MFU-first).
@@ -482,6 +483,7 @@ def probe_tunnel(timeout_s=90):
 
 
 def main():
+    global _RTT
     status, detail = probe_tunnel()
     if status != "up":
         # Structured record instead of an rc=124 hang: the driver (and
@@ -492,6 +494,13 @@ def main():
                           "value": 0.0, "unit": "unavailable",
                           "vs_baseline": 0.0}), flush=True)
         return
+    from afan.utils.timing import measure_rtt
+    try:
+        _RTT = measure_rtt()
+        print(f"host-fetch RTT (subtracted per window): {_RTT*1e3:.1f} ms",
+              file=sys.stderr)
+    except Exception:
+        _RTT = 0.0
     _guarded(bench_detection)
     _guarded(bench_segmentation)
     _guarded(bench_learnable)

@@ -48,16 +48,7 @@ def make(seed, clustered=False):
     return jnp.asarray(b[np.argsort(-s)])
 
 
-def measure_rtt():
-    x = jnp.ones((8, 128))
-    f = jax.jit(lambda x: x.sum())
-    float(f(x))
-    best = float("inf")
-    for _ in range(10):
-        t0 = time.perf_counter()
-        float(f(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from afan.utils.timing import measure_rtt  # noqa: E402 (path bootstrap above)
 
 
 @jax.jit

@@ -15,16 +15,17 @@ Timing methodology (ROADMAP.md): steps chain through the donated
 TrainState, one loss fetch per window, min over windows. Compile once
 and reuse the compiled object (remote-compile double-compile hang).
 The ~35 ms tunnel RTT of the per-window value fetch is measured
-directly (second fetch of an already-materialized buffer) and
-subtracted from each window, and iters are scaled so the residual is
-<1% at every batch size (ADVICE r4).
+directly (`afan.utils.timing.measure_rtt`: first-fetches of fresh tiny
+arrays — NOT a re-fetch of an already-pulled buffer, which jax serves
+from its per-Array host cache at ~0 cost) and subtracted from each
+window, and iters are scaled so the residual is <1% at every batch
+size (ADVICE r4; probe fixed by the round-5 code review).
 
 Run: python scripts/det_batch_scaling.py   (~20-30 min: 3-4 flagship
 compiles at distinct batch shapes)
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,6 +37,7 @@ from afan.models.frcnn import FRCNNConfig, FasterRCNN
 from afan.train.detect_loop import (DetAfanConfig, detection_tx,
                                     make_afan_det_step)
 from afan.train.loop import TrainState
+from afan.utils.timing import measure_rtt, time_chained_windows
 
 H, W = 608, 1008
 PEAK_TFS = 197e12  # v5e bf16
@@ -98,18 +100,12 @@ def run(b, iters=None, windows=3):
     except Exception as e:
         print(f"b{b}: execution failed ({type(e).__name__})", flush=True)
         return
-    # Tunnel RTT: a second fetch of the already-materialized loss buffer
-    # costs one round trip and no compute — subtract it per window.
-    t0 = time.perf_counter()
-    _ = float(holder["m"]["loss"])
-    rtt = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            one()
-        _ = float(holder["m"]["loss"])
-        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    # Tunnel RTT probe: first-fetches of FRESH tiny arrays (re-fetching
+    # an already-pulled buffer is a jax host-value cache hit reading ~0,
+    # not a transfer — round-5 code-review catch), subtracted per window.
+    rtt = measure_rtt()
+    best, _med = time_chained_windows(
+        one, lambda: float(holder["m"]["loss"]), iters, windows, rtt)
     if fl is not None:
         tfs = fl / best / 1e12
         flop_txt = (f"{fl/1e9:.0f} GFLOP ({fl/max(b,1)/1e9:.0f}/img), "

@@ -24,11 +24,10 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from afan.models.resnet_s import resnet56
 from afan.train.loop import LearnableConfig, TrainState, make_learnable_step
-from afan.train.optim import sgd
+from afan.train.optim import learnable_tx
 
 
 def main(batch=128):
@@ -39,13 +38,9 @@ def main(batch=128):
     y = jnp.asarray(np.random.RandomState(1).randint(0, 10, batch))
     variables = model.init(rng, x[:2], 0, None, False)
 
-    def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "w" if path[0].key == "w" else "model", params)
-
-    tx = optax.multi_transform(
-        {"model": sgd(lambda c: 0.1, 0.9, 5e-4),
-         "w": sgd(lambda c: 0.01, 0.9, 0.0)}, label_fn)
+    # identical construction to bench.py's (shared factory — the whole
+    # point: the FLOP constant is only valid for the identical program)
+    tx = learnable_tx(lambda c: 0.1)
     state = TrainState.create(variables, tx)
     step = make_learnable_step(model, tx, LearnableConfig())
 

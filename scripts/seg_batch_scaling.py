@@ -10,9 +10,11 @@ on the v5e (does imgs/s keep rising with batch), and what envelope TF/s
 does the chip reach on the A-FAN seg step at 512/768 crops?
 
 Methodology = det_batch_scaling.py post-ADVICE-r4: chained donated
-TrainState, compile once and reuse, measured tunnel RTT subtracted per
-window, iters scaled so the fetch residual is <1%. OOM at large b is
-caught and reported (16 GB HBM; backbone remat is OFF by default in
+TrainState, compile once and reuse, measured tunnel RTT
+(`afan.utils.timing.measure_rtt` — first-fetches of fresh arrays, not
+a cached re-fetch; probe fixed by the round-5 code review) subtracted
+per window, iters scaled so the fetch residual is <1%. OOM at large b
+is caught and reported (16 GB HBM; backbone remat is OFF by default in
 the seg step).
 
 Run (real TPU): python scripts/seg_batch_scaling.py  [--crop 768]
@@ -20,7 +22,6 @@ Run (real TPU): python scripts/seg_batch_scaling.py  [--crop 768]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,6 +33,7 @@ from afan.models.deeplab.modeling import build_model
 from afan.train.loop import TrainState
 from afan.train.segment_loop import (SegAfanConfig, make_afan_seg_step,
                                      segmentation_tx)
+from afan.utils.timing import measure_rtt, time_chained_windows
 
 PEAK_TFS = 197e12  # v5e bf16
 NCLS = 19
@@ -89,16 +91,12 @@ def main():
             print(f"b{b}: execution failed ({type(e).__name__}: "
                   f"{str(e)[:120]})", flush=True)
             continue
-        t0 = time.perf_counter()
-        _ = float(holder["m"]["loss"])
-        rtt = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                one()
-            _ = float(holder["m"]["loss"])
-            best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+        # Tunnel RTT probe: first-fetches of FRESH tiny arrays (re-fetching
+        # an already-pulled buffer is a jax host-value cache hit reading
+        # ~0, not a transfer — round-5 code-review catch).
+        rtt = measure_rtt()
+        best, _med = time_chained_windows(
+            one, lambda: float(holder["m"]["loss"]), iters, 3, rtt)
         if fl is not None:
             tfs = fl / best / 1e12
             flop_txt = (f"{fl/1e9:.0f} GFLOP ({fl/b/1e9:.0f}/img), "

@@ -25,7 +25,10 @@ if ! timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
   exit 2
 fi
 
-FUSED_OUT=$(timeout 1800 python scripts/smoke_fused_ce_tpu.py 2>/dev/null)
+# capture stderr too: on a Mosaic compile regression the traceback IS
+# the diagnostic — a bare fused_ce_ok=false record would force the next
+# hardware session to re-run by hand (round-5 code review)
+FUSED_OUT=$(timeout 1800 python scripts/smoke_fused_ce_tpu.py 2>&1)
 FUSED_RC=$?
 FUSED_OK=false
 echo "$FUSED_OUT"

@@ -50,3 +50,35 @@ class TestProbeTunnel:
             0, stdout="something unexpected"))
         status, _ = bench.probe_tunnel(timeout_s=1)
         assert status == "broken"
+
+
+class TestTimingHelpers:
+    """afan.utils.timing: the RTT probe must fetch FRESH arrays (jax
+    caches host values per Array — re-fetching a pulled buffer reads ~0,
+    the round-5 code-review catch), and the window helper must subtract
+    the RTT once per window, not per iteration."""
+
+    def test_measure_rtt_positive_and_small_on_cpu(self):
+        from afan.utils.timing import measure_rtt
+        rtt = measure_rtt(probes=3)
+        assert 0.0 < rtt < 1.0  # CPU backend: microseconds-to-ms scale
+
+    def test_rtt_subtracted_once_per_window(self):
+        from afan.utils.timing import time_chained_windows
+        calls = {"n": 0, "f": 0}
+
+        def run_one():
+            calls["n"] += 1
+
+        def fetch():
+            calls["f"] += 1
+
+        mn, med = time_chained_windows(run_one, fetch, iters=4, windows=3,
+                                       rtt=0.0)
+        assert calls == {"n": 12, "f": 3}
+        assert 0.0 <= mn <= med
+        # a large fake RTT drives the per-iter time negative, proving the
+        # subtraction is window-level (elapsed - rtt) / iters
+        mn2, _ = time_chained_windows(run_one, fetch, iters=4, windows=1,
+                                      rtt=10.0)
+        assert mn2 < 0

@@ -7,7 +7,6 @@ loss at the tapped feature, eta stays sum-to-one after projection.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from afan.models.resnet_s import ResNetS
@@ -17,7 +16,8 @@ from afan.train.loop import (
     sum_project,
 )
 from afan.train.optim import (
-    multistep_warmup_schedule, poly_schedule, sgd, warmup_multistep_schedule,
+    learnable_tx, multistep_warmup_schedule, poly_schedule, sgd,
+    warmup_multistep_schedule,
 )
 
 
@@ -128,14 +128,9 @@ class TestLearnableStep:
         m = ResNetS(num_blocks=(1, 1, 1), num_classes=4, init_weight=1 / 9)
         x, y = tiny_batch()
         vs = m.init(jax.random.PRNGKey(0), x, 0, None, False)
-
-        def label_fn(params):
-            return jax.tree.map_with_path(
-                lambda path, _: "w" if path[0].key == "w" else "model", params)
-
-        tx = optax.multi_transform(
-            {"model": sgd(lambda c: 0.05, 0.9, 5e-4),
-             "w": sgd(lambda c: 0.01, 0.9, 0.0)}, label_fn)
+        # the shared two-group factory (also used by the CLI, bench.py,
+        # the multichip dryrun, and scripts/learnable_flops.py)
+        tx = learnable_tx(lambda c: 0.05, w_lr=0.01)
         state = TrainState.create(vs, tx)
         cfg = LearnableConfig(taps=(2, 5, 7), steps=1, l1_coef=0.01)
         step = make_learnable_step(m, tx, cfg)
