@@ -31,6 +31,12 @@ Emits one JSON line per metric (driver protocol), flagship LAST:
   6. alfa_train_mfu_pct         — model FLOPs utilization of the ALFA step
      vs the v5e bf16 peak (197 TFLOP/s), from XLA's own cost analysis of
      the compiled program (fallback: documented analytic estimate).
+  6b. alfa_train_scan_{mfu_pct,imgs_per_sec_per_chip} — the same step
+     timed as 100 steps inside ONE ``lax.scan`` dispatch: per-dispatch
+     ALFA timing is tunnel-load-bound (an 8-10 ms step behind a
+     ~25-35 ms-RTT tunnel; documented 12-22k imgs/s band with 6k
+     outliers in loaded sessions), the scan line pins the chip's own
+     sustained rate.
   7. alfa_train_imgs_per_sec_per_chip — flagship ALFA classification step
      (`Classification/main_perturb.py` defaults: batch 128, tap 13,
      5-step feature PGD, gamma 1.5/255) — BASELINE.md config 2.
@@ -434,6 +440,47 @@ def bench_alfa():
     # the reference's implied MFU on A100 under the SAME flops model
     ref_mfu = (step_flops / batch) * ALFA_A100_EST_IMGS_PER_SEC \
         / A100_BF16_PEAK_FLOPS * 100
+
+    # Tunnel-load-immune companion: K steps inside ONE lax.scan dispatch
+    # (one dispatch + one value fetch per window). The per-dispatch line
+    # above is bound by host/tunnel latency when the session is loaded —
+    # an 8-10 ms step behind a ~25-35 ms-RTT tunnel has read anywhere in
+    # the documented 12-22k imgs/s band, with 6k outliers — while the
+    # scan line pins what the CHIP sustains regardless of session load.
+    # The scan body is a full train step (nonlinear in the carried
+    # state), so XLA cannot hoist it (the microbench trap, CLAUDE.md).
+    K = 100
+    raw_step = make_alfa_step(model, tx, cfg, jit=False)
+
+    def many(st, r):
+        def body(carry, i):
+            carry, m = raw_step(carry, x, y, jax.random.fold_in(r, i))
+            return carry, m["loss"]
+        st, losses = jax.lax.scan(
+            body, st, jnp.arange(K, dtype=jnp.int32))
+        return st, losses[-1]
+
+    scan_fn = jax.jit(many, donate_argnums=(0,))
+    compiled_scan = scan_fn.lower(holder["state"], rng).compile()
+    st = holder["state"]
+    st, last = compiled_scan(st, jax.random.fold_in(rng, 10_000))  # warm
+    _ = float(last)
+    times = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        st, last = compiled_scan(st, jax.random.fold_in(rng, 20_000 + w))
+        _ = float(last)
+        times.append((time.perf_counter() - t0 - _RTT) / K)
+    times.sort()
+    s_mn, s_med = times[0], times[1]
+    s_mfu = step_flops / s_med / V5E_BF16_PEAK_FLOPS * 100
+    _emit("alfa_train_scan_mfu_pct", s_mfu, "% of v5e bf16 peak",
+          s_mfu / ref_mfu,
+          min_value=step_flops / s_mn / V5E_BF16_PEAK_FLOPS * 100)
+    _emit("alfa_train_scan_imgs_per_sec_per_chip", batch / s_med,
+          "imgs/sec", (batch / s_med) / ALFA_A100_EST_IMGS_PER_SEC,
+          min_value=batch / s_mn)
+
     _emit("alfa_train_mfu_pct", mfu, "% of v5e bf16 peak", mfu / ref_mfu,
           min_value=step_flops / mn / V5E_BF16_PEAK_FLOPS * 100)
     _emit("alfa_train_imgs_per_sec_per_chip", imgs_per_sec, "imgs/sec",
